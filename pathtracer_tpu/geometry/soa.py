@@ -1,0 +1,343 @@
+"""Scene geometry as structure-of-arrays + batched intersection.
+
+TPU-first redesign of the reference's Hittable/Aggregate/Instance stack
+(src/hittable.rs:53-77, src/geometry/mod.rs:17-122, src/geometry/instance.rs):
+instead of enum dispatch per ray, ALL scene primitives (mesh triangles are
+pre-expanded and pre-transformed to world space; parametric prims keep a
+transform index) live in one padded SoA block. Intersection is a dense
+rays × primitive-chunks sweep with a running min — on TPU this dense
+formulation beats pointer-chasing traversal for scenes up to a few thousand
+primitives and is the fallback leaf loop for the BVH path (accel/).
+
+Primitive encodings (pa/pb/pc are [P,3] payload slots):
+  TRIANGLE: pa,pb,pc = world-space vertices; na,nb,nc = shading normals
+  SPHERE:   pa = center (local), pb[0] = radius
+  RECT:     pa = center, pb = half-edge u, pc = half-edge v (local)
+  DISK:     pa = center, pb = unit normal, pc[0] = radius (local)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import vecmath
+from pathtracer_tpu.prelude import RAY_TMAX
+
+PRIM_TRIANGLE = 0
+PRIM_SPHERE = 1
+PRIM_RECT = 2
+PRIM_DISK = 3
+
+_CHUNK = 16  # primitive chunk width for the dense sweep
+
+
+class Primitives(NamedTuple):
+    ptype: jnp.ndarray  # i32[P]
+    pa: jnp.ndarray  # f32[P,3]
+    pb: jnp.ndarray  # f32[P,3]
+    pc: jnp.ndarray  # f32[P,3]
+    na: jnp.ndarray  # f32[P,3] triangle shading normals
+    nb: jnp.ndarray
+    nc: jnp.ndarray
+    material_id: jnp.ndarray  # i32[P] index into material table
+    mat_kind: jnp.ndarray  # i32[P] 0=Material 1=Light 2=Camera (MaterialId kind)
+    instance_id: jnp.ndarray  # i32[P]
+    transform_id: jnp.ndarray  # i32[P]; 0 == identity
+    area: jnp.ndarray  # f32[P] world-space surface area (host precomputed)
+    valid: jnp.ndarray  # bool[P] padding mask
+    xf_fwd: jnp.ndarray  # f32[T,4,4] local->world
+    xf_inv: jnp.ndarray  # f32[T,4,4] world->local
+
+    @property
+    def count(self):
+        return self.ptype.shape[0]
+
+
+class HitRecord(NamedTuple):
+    """Wavefront hit record — SoA analogue of the reference's HitRecord
+    (src/hittable.rs:7-16)."""
+
+    t: jnp.ndarray  # f32[N]
+    point: jnp.ndarray  # f32[N,3]
+    normal: jnp.ndarray  # f32[N,3] shading normal (unit)
+    geo_normal: jnp.ndarray  # f32[N,3]
+    uv: jnp.ndarray  # f32[N,2]
+    material_id: jnp.ndarray  # i32[N]
+    mat_kind: jnp.ndarray  # i32[N]
+    instance_id: jnp.ndarray  # i32[N]
+    prim_id: jnp.ndarray  # i32[N]
+    hit: jnp.ndarray  # bool[N]
+
+
+# ----------------------------------------------------------- t-only tests
+
+
+def _t_triangle(pa, pb, pc, o, d, t_min, t_max):
+    """Möller–Trumbore. All args broadcast (ray batch × prim chunk)."""
+    e1 = pb - pa
+    e2 = pc - pa
+    pvec = jnp.cross(d, e2)
+    det = vecmath.dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o - pa
+    u = vecmath.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = vecmath.dot(d, qvec) * inv_det
+    t = vecmath.dot(e2, qvec) * inv_det
+    ok = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(ok, t, jnp.inf)
+
+
+def _t_sphere(pa, pb, o, d, t_min, t_max):
+    oc = o - pa
+    a = vecmath.dot(d, d)
+    half_b = vecmath.dot(oc, d)
+    r = pb[..., 0]
+    c = vecmath.dot(oc, oc) - r * r
+    disc = half_b * half_b - a * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    inv_a = 1.0 / jnp.maximum(a, 1e-20)
+    t0 = (-half_b - sq) * inv_a
+    t1 = (-half_b + sq) * inv_a
+    t0_ok = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)
+    t1_ok = (disc > 0.0) & (t1 > t_min) & (t1 < t_max)
+    t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, jnp.inf))
+    return t
+
+
+def _t_rect(pa, pb, pc, o, d, t_min, t_max):
+    n = jnp.cross(pb, pc)
+    n = vecmath.normalize(n)
+    denom = vecmath.dot(d, n)
+    t = vecmath.dot(pa - o, n) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    p = o + t[..., None] * d
+    rel = p - pa
+    a = vecmath.dot(rel, pb) / jnp.maximum(vecmath.dot(pb, pb), 1e-20)
+    b = vecmath.dot(rel, pc) / jnp.maximum(vecmath.dot(pc, pc), 1e-20)
+    ok = (
+        (jnp.abs(denom) > 1e-12)
+        & (jnp.abs(a) <= 1.0)
+        & (jnp.abs(b) <= 1.0)
+        & (t > t_min)
+        & (t < t_max)
+    )
+    return jnp.where(ok, t, jnp.inf)
+
+
+def _t_disk(pa, pb, pc, o, d, t_min, t_max):
+    n = pb
+    denom = vecmath.dot(d, n)
+    t = vecmath.dot(pa - o, n) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+    p = o + t[..., None] * d
+    rel = p - pa
+    r2 = vecmath.dot(rel, rel)
+    rad = pc[..., 0]
+    ok = (jnp.abs(denom) > 1e-12) & (r2 <= rad * rad) & (t > t_min) & (t < t_max)
+    return jnp.where(ok, t, jnp.inf)
+
+
+def _chunk_ts(prims: Primitives, idx, o, d, t_min, t_max):
+    """t for rays [N] vs prim chunk idx [C] -> [N, C]. Handles per-prim
+    transforms by moving rays into local space (t is preserved because
+    direction is transformed without renormalisation,
+    like src/geometry/instance.rs:89-133)."""
+    pa, pb, pc = prims.pa[idx], prims.pb[idx], prims.pc[idx]
+    ptype = prims.ptype[idx]
+    tid = prims.transform_id[idx]
+    m_inv = prims.xf_inv[tid]  # [C,4,4]
+    # local rays: [N,C,3]
+    o_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], o) + m_inv[None, :, :3, 3]
+    d_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], d)
+    pa_b, pb_b, pc_b = pa[None], pb[None], pc[None]
+    tmin_b = t_min[:, None]
+    tmax_b = t_max[:, None]
+    t_tri = _t_triangle(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
+    t_sph = _t_sphere(pa_b, pb_b, o_l, d_l, tmin_b, tmax_b)
+    t_rec = _t_rect(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
+    t_dsk = _t_disk(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
+    t = jnp.select(
+        [ptype[None] == PRIM_TRIANGLE, ptype[None] == PRIM_SPHERE, ptype[None] == PRIM_RECT],
+        [t_tri, t_sph, t_rec],
+        t_dsk,
+    )
+    return jnp.where(prims.valid[idx][None], t, jnp.inf)
+
+
+def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> HitRecord:
+    """Closest-hit over ALL primitives: scan over chunks with running min.
+
+    o, d: f32[N,3]; t_min/t_max: f32[N]. `ignore_prim`: optional i32[N]
+    primitive index to skip (self-intersection exclusion for shadow rays).
+    """
+    n = o.shape[0]
+    p = prims.count
+    n_chunks = p // _CHUNK
+    chunk_ids = jnp.arange(p, dtype=jnp.int32).reshape(n_chunks, _CHUNK)
+
+    def body(carry, idx):
+        t_best, id_best = carry
+        t = _chunk_ts(prims, idx, o, d, t_min, jnp.minimum(t_max, t_best))
+        if ignore_prim is not None:
+            t = jnp.where(idx[None] == ignore_prim[:, None], jnp.inf, t)
+        c_arg = jnp.argmin(t, axis=-1)
+        c_t = jnp.take_along_axis(t, c_arg[:, None], axis=-1)[:, 0]
+        better = c_t < t_best
+        t_best = jnp.where(better, c_t, t_best)
+        id_best = jnp.where(better, idx[c_arg], id_best)
+        return (t_best, id_best), None
+
+    init = (jnp.full((n,), jnp.inf, jnp.float32), jnp.full((n,), -1, jnp.int32))
+    (t_best, id_best), _ = jax.lax.scan(body, init, chunk_ids)
+    hit = id_best >= 0
+    return _fill_attributes(prims, o, d, t_best, jnp.maximum(id_best, 0), hit)
+
+
+def intersect_any_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None):
+    """Occlusion query: does any primitive block (t_min, t_max)? -> bool[N]."""
+    hr = intersect_dense(prims, o, d, t_min, t_max, ignore_prim=ignore_prim)
+    return hr.hit
+
+
+def _fill_attributes(prims: Primitives, o, d, t, pid, hit) -> HitRecord:
+    """Recompute full hit attributes for the single winning primitive."""
+    pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
+    na, nb, nc = prims.na[pid], prims.nb[pid], prims.nc[pid]
+    ptype = prims.ptype[pid]
+    tid = prims.transform_id[pid]
+    m_fwd = prims.xf_fwd[tid]
+    m_inv = prims.xf_inv[tid]
+    o_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], o) + m_inv[:, :3, 3]
+    d_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], d)
+    p_l = o_l + t[..., None] * d_l
+
+    # triangle attrs (world space already)
+    e1, e2 = pb - pa, pc - pa
+    tri_gn = vecmath.normalize(jnp.cross(e1, e2))
+    # barycentrics from local point
+    pvec = jnp.cross(d_l, e2)
+    det = vecmath.dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    tvec = o_l - pa
+    bu = vecmath.dot(tvec, pvec) * inv_det
+    bv = vecmath.dot(d_l, jnp.cross(tvec, e1)) * inv_det
+    tri_sn = vecmath.normalize(
+        (1.0 - bu - bv)[..., None] * na + bu[..., None] * nb + bv[..., None] * nc
+    )
+    tri_uv = jnp.stack([bu, bv], axis=-1)
+
+    # sphere attrs
+    sph_n = vecmath.normalize(p_l - pa)
+    sph_u = (jnp.arctan2(sph_n[..., 1], sph_n[..., 0]) / (2 * jnp.pi)) % 1.0
+    sph_v = jnp.arccos(jnp.clip(sph_n[..., 2], -1.0, 1.0)) / jnp.pi
+    sph_uv = jnp.stack([sph_u, sph_v], axis=-1)
+
+    # rect attrs
+    rect_n = vecmath.normalize(jnp.cross(pb, pc))
+    rel = p_l - pa
+    rect_uv = jnp.stack(
+        [
+            0.5 * (vecmath.dot(rel, pb) / jnp.maximum(vecmath.dot(pb, pb), 1e-20) + 1.0),
+            0.5 * (vecmath.dot(rel, pc) / jnp.maximum(vecmath.dot(pc, pc), 1e-20) + 1.0),
+        ],
+        axis=-1,
+    )
+
+    # disk attrs (uv left (0,0) like the reference's TODO, src/geometry/disk.rs)
+    disk_n = pb
+    zero_uv = jnp.zeros_like(rect_uv)
+
+    is_tri = (ptype == PRIM_TRIANGLE)[..., None]
+    is_sph = (ptype == PRIM_SPHERE)[..., None]
+    is_rec = (ptype == PRIM_RECT)[..., None]
+    n_local = jnp.where(
+        is_tri, tri_sn, jnp.where(is_sph, sph_n, jnp.where(is_rec, rect_n, disk_n))
+    )
+    gn_local = jnp.where(
+        is_tri, tri_gn, jnp.where(is_sph, sph_n, jnp.where(is_rec, rect_n, disk_n))
+    )
+    uv = jnp.where(is_tri[..., :1], tri_uv,
+                   jnp.where(is_sph[..., :1], sph_uv,
+                             jnp.where(is_rec[..., :1], rect_uv, zero_uv)))
+
+    # back to world
+    point = jnp.einsum("nij,nj->ni", m_fwd[:, :3, :3], p_l) + m_fwd[:, :3, 3]
+    normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], n_local))
+    geo_normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], gn_local))
+
+    return HitRecord(
+        t=jnp.where(hit, t, RAY_TMAX),
+        point=point,
+        normal=normal,
+        geo_normal=geo_normal,
+        uv=uv,
+        material_id=jnp.where(hit, prims.material_id[pid], -1),
+        mat_kind=jnp.where(hit, prims.mat_kind[pid], -1),
+        instance_id=jnp.where(hit, prims.instance_id[pid], -1),
+        prim_id=jnp.where(hit, pid, -1),
+        hit=hit,
+    )
+
+
+# -------------------------------------------------------- surface sampling
+
+
+def sample_surface(prims: Primitives, pid, u1, u2):
+    """Uniform-area sample on primitive `pid` -> (point, normal, area_pdf).
+
+    Equivalent of Hittable::sample_surface (src/hittable.rs:53-77) across
+    all primitive types, vectorised over the batch of picked lights.
+    """
+    pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
+    ptype = prims.ptype[pid]
+    tid = prims.transform_id[pid]
+    m_fwd = prims.xf_fwd[tid]
+    m_inv = prims.xf_inv[tid]
+
+    # triangle
+    su = jnp.sqrt(u1)
+    tri_p = (1.0 - su)[..., None] * pa + (su * (1.0 - u2))[..., None] * pb + (
+        su * u2
+    )[..., None] * pc
+    tri_n = vecmath.normalize(jnp.cross(pb - pa, pc - pa))
+
+    # sphere (uniform area)
+    z = 1.0 - 2.0 * u1
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u2
+    sph_n = jnp.stack([r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z], axis=-1)
+    sph_p = pa + pb[..., 0:1] * sph_n
+
+    # rect
+    rec_p = pa + (2.0 * u1 - 1.0)[..., None] * pb + (2.0 * u2 - 1.0)[..., None] * pc
+    rec_n = vecmath.normalize(jnp.cross(pb, pc))
+
+    # disk
+    rr = jnp.sqrt(u1) * pc[..., 0]
+    t_ax, b_ax = vecmath.orthonormal_basis(pb)
+    dsk_p = pa + (rr * jnp.cos(phi))[..., None] * t_ax + (rr * jnp.sin(phi))[..., None] * b_ax
+    dsk_n = pb
+
+    is_tri = (ptype == PRIM_TRIANGLE)[..., None]
+    is_sph = (ptype == PRIM_SPHERE)[..., None]
+    is_rec = (ptype == PRIM_RECT)[..., None]
+    p_l = jnp.where(is_tri, tri_p, jnp.where(is_sph, sph_p, jnp.where(is_rec, rec_p, dsk_p)))
+    n_l = jnp.where(is_tri, tri_n, jnp.where(is_sph, sph_n, jnp.where(is_rec, rec_n, dsk_n)))
+
+    point = jnp.einsum("nij,nj->ni", m_fwd[:, :3, :3], p_l) + m_fwd[:, :3, 3]
+    normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], n_l))
+    area_pdf = 1.0 / jnp.maximum(prims.area[pid], 1e-20)
+    return point, normal, area_pdf
+
+
+def primitive_area(prims: Primitives, pid):
+    return prims.area[pid]
