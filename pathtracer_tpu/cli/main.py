@@ -1,0 +1,130 @@
+"""CLI renderer entry point.
+
+Capability parity with src/bin/main.rs:81-198: args {scene, config,
+dry_run, log levels}; loads config + scene, builds the world, renders every
+[[render_settings]] entry, writes EXR+PNG, prints Profile ray statistics.
+
+Usage:
+  python -m pathtracer_tpu.cli.main --config data/config.toml \
+      [--scene data/scenes/cornell_box.toml] [--data-root /root/reference] \
+      [--dry-run] [--spp N] [--size WxH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import jax
+
+from pathtracer_tpu.parsing.config import parse_config
+from pathtracer_tpu.parsing.construct import construct_world
+from pathtracer_tpu.parsing.cameras import build_camera
+from pathtracer_tpu.parsing.paths import DEFAULT_SEARCH_PATHS, resolve
+from pathtracer_tpu.integrator.pt import PTSettings
+from pathtracer_tpu.renderer.naive import render_sampled
+from pathtracer_tpu.renderer.output import output_film
+from pathtracer_tpu.tonemap import Clamp, Reinhard0, Reinhard0x3, Reinhard1, Reinhard1x3
+
+log = logging.getLogger("pathtracer_tpu")
+
+
+def make_tonemapper(tc):
+    if tc.kind == "Clamp":
+        return Clamp(exposure=tc.exposure, luminance_only=tc.luminance_only, silenced=tc.silenced)
+    if tc.kind == "Reinhard0":
+        return Reinhard0(key_value=tc.key_value, luminance_only=tc.luminance_only)
+    if tc.kind == "Reinhard0x3":
+        return Reinhard0x3(key_value=tc.key_value)
+    if tc.kind == "Reinhard1":
+        return Reinhard1(key_value=tc.key_value, white_point=tc.white_point,
+                         luminance_only=tc.luminance_only)
+    if tc.kind == "Reinhard1x3":
+        return Reinhard1x3(key_value=tc.key_value, white_point=tc.white_point)
+    raise ValueError(f"unknown tonemapper {tc.kind!r}")
+
+
+def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=None):
+    """Render one [[render_settings]] entry end-to-end."""
+    width, height = size or (rs.width, rs.height)
+    spp = spp or rs.min_samples
+    spec = bundle.camera_by_id(rs.camera_id)
+    camera = build_camera(spec, aspect_ratio=width / height)
+    integ = rs.integrator
+    if integ.kind != "PT":
+        log.warning("integrator %s not yet wired into the CLI; falling back to PT "
+                    "(the reference falls back likewise, src/integrator/mod.rs:106-119)",
+                    integ.kind)
+    settings = PTSettings(
+        max_bounces=rs.max_bounces,
+        min_bounces=rs.min_bounces,
+        light_samples=integ.light_samples,
+        russian_roulette=rs.russian_roulette,
+        only_direct=rs.only_direct,
+        medium_aware=integ.medium_aware,
+        wavelength_bounds=rs.wavelength_bounds,
+    )
+    t0 = time.perf_counter()
+    film, profile, elapsed = render_sampled(
+        bundle.world, camera, settings, width, height, spp, key=key,
+        sample_chunk=min(8, spp),
+        progress=lambda done, total: log.info("  %d/%d spp", done, total),
+    )
+    log.info("%s", profile.pretty_print(elapsed, jax.device_count()))
+    tm = make_tonemapper(rs.tonemap)
+    exr, png = output_film(film, rs.filename, tm, rs.colorspace, rs.premultiply, output_dir)
+    log.info("wrote %s, %s (%.1fs total)", exr, png, time.perf_counter() - t0)
+    return film, profile
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="pathtracer_tpu renderer")
+    ap.add_argument("--config", default="data/config.toml")
+    ap.add_argument("--scene", default=None, help="override default_scene_file")
+    ap.add_argument("--data-root", action="append", default=None,
+                    help="extra asset search root (repeatable)")
+    ap.add_argument("--output-dir", default="output")
+    ap.add_argument("--cache-dir", default="cache")
+    ap.add_argument("--dry-run", action="store_true", help="parse + build only")
+    ap.add_argument("--spp", type=int, default=None, help="override min_samples")
+    ap.add_argument("--size", default=None, help="override resolution, WxH")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stdout-log", default="INFO")
+    args = ap.parse_args(argv)
+
+    logging.basicConfig(
+        level=getattr(logging, args.stdout_log.upper(), logging.INFO),
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s",
+    )
+    search = (args.data_root or []) + DEFAULT_SEARCH_PATHS
+    os.makedirs(args.output_dir, exist_ok=True)
+    os.makedirs(args.cache_dir, exist_ok=True)
+
+    config = parse_config(resolve(args.config, search))
+    scene_path = args.scene or config.default_scene_file
+    log.info("building world from %s", scene_path)
+    bundle = construct_world(scene_path, search_paths=search, cache_dir=args.cache_dir)
+    log.info("world: %d primitives, %d materials, %d curves",
+             bundle.world.prims.count, bundle.world.mats.count, bundle.world.bank.n_curves)
+    if args.dry_run:
+        print("dry run OK")
+        return 0
+
+    size = None
+    if args.size:
+        w, h = args.size.lower().split("x")
+        size = (int(w), int(h))
+    key = jax.random.PRNGKey(args.seed)
+    for i, rs in enumerate(config.render_settings):
+        log.info("render_settings[%d]: %s %dx%d @ %d spp (%s)",
+                 i, rs.filename, rs.width, rs.height, rs.min_samples, rs.integrator.kind)
+        render_settings_entry(bundle, rs, jax.random.fold_in(key, i),
+                              args.output_dir, args.spp, size)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

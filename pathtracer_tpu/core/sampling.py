@@ -30,7 +30,7 @@ def sample_2d(key, shape=()):
     return u[..., 0], u[..., 1]
 
 
-def choose(u, p, below, above):
+def choose(u, p):
     """Branch on u < p and rescale u to [0,1) within the chosen branch —
     equivalent of rust_cg_math Sample1D::choose (src/integrator/pt.rs:350-353).
     Returns (picked_below_mask, rescaled_u)."""

@@ -234,6 +234,7 @@ def evaluate(bank: CurveBank, idx, lam):
     Equivalent of Curve::evaluate_power (clamped to >= 0 at bake time).
     """
     res = bank.values.shape[1]
+    idx, lam = jnp.broadcast_arrays(jnp.asarray(idx), jnp.asarray(lam))
     u = (lam - bank.lam_lo) / (bank.lam_hi - bank.lam_lo) * (res - 1)
     u = jnp.clip(u, 0.0, res - 1 - 1e-4)
     i0 = u.astype(jnp.int32)
@@ -246,6 +247,7 @@ def evaluate(bank: CurveBank, idx, lam):
 
 def cdf_at(bank: CurveBank, idx, lam):
     res = bank.cdf.shape[1]
+    idx, lam = jnp.broadcast_arrays(jnp.asarray(idx), jnp.asarray(lam))
     u = (lam - bank.lam_lo) / (bank.lam_hi - bank.lam_lo) * (res - 1)
     u = jnp.clip(u, 0.0, res - 1 - 1e-4)
     i0 = u.astype(jnp.int32)
@@ -264,6 +266,7 @@ def sample_power_and_pdf(bank: CurveBank, idx, u, bounds: Bounds1D):
     (used at e.g. src/materials/diffuse_light.rs:112-114).
     """
     res = bank.cdf.shape[1]
+    idx, u = jnp.broadcast_arrays(jnp.asarray(idx), jnp.asarray(u))
     cdf_lo = cdf_at(bank, idx, jnp.full_like(u, bounds.lower))
     cdf_hi = cdf_at(bank, idx, jnp.full_like(u, bounds.upper))
     span = jnp.maximum(cdf_hi - cdf_lo, 1e-9)

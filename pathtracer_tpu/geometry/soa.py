@@ -196,7 +196,10 @@ def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> 
         id_best = jnp.where(better, idx[c_arg], id_best)
         return (t_best, id_best), None
 
-    init = (jnp.full((n,), jnp.inf, jnp.float32), jnp.full((n,), -1, jnp.int32))
+    # derive the init carry from the (possibly shard_map-varying) ray arrays
+    # so the scan carry's varying-manual-axes type matches the body output
+    zero = o[:, 0] * 0.0 + t_min * 0.0
+    init = (zero + jnp.inf, zero.astype(jnp.int32) - 1)
     (t_best, id_best), _ = jax.lax.scan(body, init, chunk_ids)
     hit = id_best >= 0
     return _fill_attributes(prims, o, d, t_best, jnp.maximum(id_best, 0), hit)

@@ -1,0 +1,110 @@
+"""Multi-chip scale-out: film-tile data parallelism over a device mesh.
+
+The reference is single-process (rayon work-stealing over tiles,
+src/renderer/tiled.rs:325-420; crossbeam splat channel). The TPU-native
+design shards the *film* (pixel axis) across an ICI mesh with `shard_map`:
+each device traces its own pixel rows against the replicated World, and the
+Profile counters are `psum`-reduced. No other communication is needed for
+PT; LT/BDPT splat films are psum'd at the end of each round (scatter-add is
+local, the film sum rides ICI).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from pathtracer_tpu.core import sampling
+from pathtracer_tpu.integrator.pt import PTSettings, trace_camera_sample
+from pathtracer_tpu.utils.profile import Profile
+from pathtracer_tpu.utils import profile as prof
+
+TILE_AXIS = "tiles"
+
+
+def make_render_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (TILE_AXIS,))
+
+
+def render_chunk_sharded(world, camera, key, settings: PTSettings,
+                         width: int, height: int, chunk: int, mesh: Mesh):
+    """One jitted multi-device render chunk: film rows sharded over the
+    mesh, world/camera replicated, counters psum-reduced.
+    Returns (film [H*W, 3] sharded, counters [5] replicated)."""
+    n = width * height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"film pixels {n} must divide over {n_dev} devices"
+
+    def local_chunk(pix_ids, world, camera, key):
+        # pix_ids: this device's shard of pixel indices [N/D]
+        me = jax.lax.axis_index(TILE_AXIS)
+        kd = sampling.fold(key, me)
+        xy = jnp.stack(
+            [(pix_ids % width).astype(jnp.float32), (pix_ids // width).astype(jnp.float32)],
+            axis=-1,
+        )
+        inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
+
+        def body(carry, i):
+            film, counters = carry
+            ks = sampling.fold(kd, i)
+            jitter = jax.random.uniform(ks, (pix_ids.shape[0], 2))
+            film_uv = (xy + jitter) * inv_res
+            xyz, c = trace_camera_sample(world, camera, settings, film_uv, sampling.fold(ks, 7))
+            return (film + xyz, counters + c), None
+
+        init = jax.lax.pcast(
+            (jnp.zeros((pix_ids.shape[0], 3), jnp.float32), prof.zeros()),
+            (TILE_AXIS,),
+            to="varying",
+        )
+        (film, counters), _ = jax.lax.scan(body, init, jnp.arange(chunk))
+        return film, jax.lax.psum(counters, TILE_AXIS)
+
+    fn = shard_map(
+        local_chunk,
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P()),
+    )
+    pix = jax.device_put(
+        jnp.arange(n, dtype=jnp.int32), NamedSharding(mesh, P(TILE_AXIS))
+    )
+    return jax.jit(fn, static_argnames=())(pix, world, camera, key)
+
+
+def render_sampled_sharded(world, camera, settings: PTSettings, width: int,
+                           height: int, min_samples: int, mesh: Mesh,
+                           key=None, sample_chunk: int = 8, progress=None):
+    """Multi-device render loop (render_sampled equivalent over a mesh)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_chunks = -(-min_samples // sample_chunk)
+    film = None
+    counters_acc = prof.zeros()
+    profile = Profile()
+    t0 = time.perf_counter()
+    done = 0
+    for c in range(n_chunks):
+        this = min(sample_chunk, min_samples - done)
+        f, counters = render_chunk_sharded(
+            world, camera, sampling.fold(key, 2000 + c), settings, width, height, this, mesh
+        )
+        film = f if film is None else film + f
+        counters_acc = counters_acc + counters
+        done += this
+        if progress is not None:
+            progress(done, min_samples)
+    film = (film / float(min_samples)).reshape(height, width, 3)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    profile.add_device_counts(counters_acc)
+    return film, profile, elapsed

@@ -1,0 +1,79 @@
+"""Sample-loop renderer: the wavefront executor.
+
+Capability parity with NaiveRenderer::render_sampled
+(src/renderer/naive.rs:66-105): rayon's per-pixel loop becomes a jitted
+`lax.scan` over sample rounds of a full-film wavefront (one ray per pixel
+per round, box-filter jitter), accumulated into a device-resident XYZ film.
+The host only loops over chunks for progress reporting.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import sampling
+from pathtracer_tpu.integrator.pt import PTSettings, trace_camera_sample
+from pathtracer_tpu.utils.profile import Profile
+from pathtracer_tpu.utils import profile as prof
+
+
+@partial(jax.jit, static_argnames=("settings", "width", "height", "chunk"))
+def _render_chunk(world, camera, key, settings: PTSettings, width: int, height: int, chunk: int):
+    n = width * height
+    ids = jnp.arange(n, dtype=jnp.int32)
+    xy = jnp.stack([(ids % width).astype(jnp.float32), (ids // width).astype(jnp.float32)], axis=-1)
+    inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
+
+    def body(carry, i):
+        film, counters = carry
+        ks = sampling.fold(key, i)
+        jitter = jax.random.uniform(ks, (n, 2))
+        film_uv = (xy + jitter) * inv_res
+        xyz, c = trace_camera_sample(world, camera, settings, film_uv, sampling.fold(ks, 7))
+        return (film + xyz, counters + c), None
+
+    init = (jnp.zeros((n, 3), jnp.float32), prof.zeros())
+    (film, counters), _ = jax.lax.scan(body, init, jnp.arange(chunk))
+    return film, counters
+
+
+def render_sampled(
+    world,
+    camera,
+    settings: PTSettings,
+    width: int,
+    height: int,
+    min_samples: int,
+    key=None,
+    sample_chunk: int = 8,
+    progress=None,
+):
+    """Render `min_samples` spp. Returns (film_xyz [H,W,3] sample-mean,
+    Profile, elapsed_seconds)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_chunks = -(-min_samples // sample_chunk)
+    film = jnp.zeros((width * height, 3), jnp.float32)
+    profile = Profile()
+    counters_acc = prof.zeros()
+    t0 = time.perf_counter()
+    done = 0
+    for c in range(n_chunks):
+        this = min(sample_chunk, min_samples - done)
+        f, counters = _render_chunk(
+            world, camera, sampling.fold(key, 1000 + c), settings, width, height, this
+        )
+        film = film + f
+        counters_acc = counters_acc + counters
+        done += this
+        if progress is not None:
+            progress(done, min_samples)
+    film = film / float(min_samples)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    profile.add_device_counts(counters_acc)
+    return film.reshape(height, width, 3), profile, elapsed

@@ -1,17 +1,24 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
-multi-chip sharding logic is exercised without TPU hardware."""
+multi-chip sharding logic is exercised without TPU hardware.
+
+NOTE: this environment pre-registers an `axon` TPU plugin that overrides
+JAX_PLATFORMS from the environment — `jax.config.update` after import is the
+only reliable way to force CPU here (plain env vars are ignored).
+"""
 
 import os
 
-# Force CPU: the environment pre-sets JAX_PLATFORMS to the TPU platform, and
-# every tiny test graph would otherwise compile over the TPU tunnel (~100s
-# per compile). Multi-chip logic is tested on 8 virtual CPU devices.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

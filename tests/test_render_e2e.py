@@ -1,0 +1,150 @@
+"""End-to-end wavefront PT renders (CPU, small films).
+
+Mirrors the reference's physical validation scenes (SURVEY §4.8):
+white furnace energy conservation (data/scenes/white_furnace.toml) and a
+Cornell-style box with an area light.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.core import spectral
+from pathtracer_tpu.camera import make_projective_camera
+from pathtracer_tpu.integrator import PTSettings
+from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
+from pathtracer_tpu.parsing import SceneBuilder
+from pathtracer_tpu.renderer import render_sampled
+
+
+def _furnace_world(reflectance=1.0):
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(reflectance), name="white")
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    tex = b.add_texture([(np.ones((1, 1), np.float32), white)], name="tex_white")
+    m = b.add_lambertian(tex, name="lambert")
+    b.add_sphere([0.0, 0.0, 0.0], 1.0, m)
+    b.set_environment_constant(one, 1.0)
+    b.env_sampling_probability = 1.0
+    return b.build()
+
+
+def test_white_furnace():
+    """A reflectance-1 lambertian sphere in a unit constant environment must
+    render to luminance == environment luminance (energy conservation within
+    MC noise)."""
+    world = _furnace_world(1.0)
+    cam = make_projective_camera(
+        look_from=[-4.0, 0, 0], look_at=[0, 0, 0], vfov_degrees=30.0,
+        focal_distance=4.0, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    settings = PTSettings(max_bounces=24, min_bounces=4, light_samples=1,
+                          russian_roulette=True)
+    film, profile, _ = render_sampled(
+        world, cam, settings, 24, 24, min_samples=48, key=jax.random.PRNGKey(7),
+        sample_chunk=12,
+    )
+    film = np.asarray(film)
+    assert np.all(np.isfinite(film))
+    # center pixels see the sphere; their luminance must equal the analytic
+    # environment luminance ∫ȳ(λ)dλ (λ-sampling noise dominates the spread:
+    # uniform-λ estimation of ȳ has ~130% relative std per sample).
+    from pathtracer_tpu.core import cie
+    lamg = np.linspace(380.0, 780.0, 2000)
+    expected = float(np.trapezoid(np.asarray(cie.y_bar(jnp.asarray(lamg))), lamg))
+    center = film[8:16, 8:16, 1]
+    ratio = center.mean() / expected
+    assert abs(ratio - 1.0) < 0.05, f"furnace ratio {ratio}"
+    assert profile.total_rays > 0
+
+
+def _cornell_world():
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.73), name="white")
+    red = b.add_curve(spectral.SpikeCurve(630.0, 60.0, 60.0, 0.65), name="red")
+    green = b.add_curve(spectral.SpikeCurve(540.0, 50.0, 50.0, 0.65), name="green")
+    emit = b.add_curve(spectral.BlackbodyCurve(5500.0, 18.0), name="emit")
+    b78 = b.add_curve(spectral.FlatCurve(0.78), name="b78")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    tr = b.add_texture([(one_px, red)], name="tr")
+    tg = b.add_texture([(one_px, green)], name="tg")
+    mw = b.add_lambertian(tw, name="mw")
+    mr = b.add_lambertian(tr, name="mr")
+    mg = b.add_lambertian(tg, name="mg")
+    ml = b.add_diffuse_light(emit, b78, SIDE_REVERSE, name="ml")
+    s = 0.5
+    # box interior: floor(z=0), ceiling(z=2s), back(x=2s), left(y=2s) red, right(y=0) green
+    b.add_rect([s, s, 0.0], [s, 0, 0], [0, s, 0], mw)       # floor, normal +z
+    b.add_rect([s, s, 2 * s], [s, 0, 0], [0, s, 0], mw)     # ceiling
+    b.add_rect([2 * s, s, s], [0, s, 0], [0, 0, s], mw)     # back wall
+    b.add_rect([s, 2 * s, s], [s, 0, 0], [0, 0, s], mr)     # left wall
+    b.add_rect([s, 0.0, s], [s, 0, 0], [0, 0, s], mg)       # right wall
+    # area light slightly below the ceiling, emitting downwards (Reverse of +z)
+    b.add_rect([s, s, 2 * s - 1e-3], [0.15, 0, 0], [0, 0.15, 0], ml)
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    b.set_environment_constant(zero, 0.0)
+    b.env_sampling_probability = 0.0
+    return b
+
+
+@pytest.fixture(scope="module")
+def cornell_render():
+    b = _cornell_world()
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[-1.2, 0.5, 0.5], look_at=[0.5, 0.5, 0.5], vfov_degrees=40.0,
+        focal_distance=1.7, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    settings = PTSettings(max_bounces=6, min_bounces=1, light_samples=1)
+    film, profile, _ = render_sampled(
+        world, cam, settings, 48, 48, min_samples=24, key=jax.random.PRNGKey(3),
+        sample_chunk=8,
+    )
+    return np.asarray(film), profile
+
+
+def test_cornell_finite_and_lit(cornell_render):
+    film, profile = cornell_render
+    assert np.all(np.isfinite(film))
+    assert film[..., 1].mean() > 1e-3, "image is black"
+    # the light patch (top middle) must be the brightest region
+    bright_y = film[..., 1].max()
+    assert film[2:10, 18:30, 1].max() == pytest.approx(bright_y, rel=0.35)
+
+
+def test_cornell_color_bleed(cornell_render):
+    film, _ = cornell_render
+    # left wall (top of image? y up is +z) — sample columns near left/right
+    # red wall on image-left or right depends on camera; just check X vs Z
+    # chromaticity differs between the two side-wall regions.
+    left = film[20:28, 2:8, :].mean(axis=(0, 1))
+    right = film[20:28, 40:46, :].mean(axis=(0, 1))
+    # one side reddish (X>Z heavily), other greenish (Y dominant)
+    assert not np.allclose(left, right, rtol=0.1)
+
+
+def test_cornell_nee_mis_consistency():
+    """Rendering with NEE+MIS (light_samples=1) and pure BSDF sampling
+    (light_samples=0) must converge to the same image (unbiasedness of the
+    MIS weighting) — reference test_sampling_methods analogue."""
+    b = _cornell_world()
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[-1.2, 0.5, 0.5], look_at=[0.5, 0.5, 0.5], vfov_degrees=40.0,
+        focal_distance=1.7, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    common = dict(max_bounces=4, min_bounces=4, russian_roulette=False)
+    f_nee, _, _ = render_sampled(
+        world, cam, PTSettings(light_samples=1, **common), 16, 16,
+        min_samples=600, key=jax.random.PRNGKey(11), sample_chunk=100,
+    )
+    f_bsdf, _, _ = render_sampled(
+        world, cam, PTSettings(light_samples=0, **common), 16, 16,
+        min_samples=600, key=jax.random.PRNGKey(12), sample_chunk=100,
+    )
+    a = np.asarray(f_nee[..., 1])
+    bb = np.asarray(f_bsdf[..., 1])
+    # compare means (pure-bsdf is noisy; mean converges)
+    assert abs(a.mean() - bb.mean()) / max(a.mean(), 1e-9) < 0.12, (a.mean(), bb.mean())
