@@ -1,18 +1,27 @@
-"""Wavefront spectral path tracer with NEE + MIS.
+"""Wavefront spectral path tracer with NEE + MIS and participating media.
 
-Capability parity with the reference's PathTracingIntegrator + random_walk
-(src/integrator/pt.rs:397-614, src/integrator/utils.rs:152-376), re-designed
-as a fixed-shape wavefront: one λ per sample, a `lax.while_loop` over bounce
-rounds with masked lanes (dead rays idle — on TPU, masking a converged lane
-is cheaper than compaction until occupancy drops far), NEE shadow rays
-batched per round, balance-heuristic MIS between BSDF sampling and
-next-event estimation (instance lights ∪ environment).
+Capability parity with the reference's PathTracingIntegrator + random_walk +
+random_walk_medium (src/integrator/pt.rs:397-614, src/integrator/
+utils.rs:152-376,708-1103), re-designed as a fixed-shape wavefront: one λ
+per sample, a `lax.while_loop` over bounce rounds with masked lanes (dead
+rays idle — on TPU masking a converged lane is cheaper than compaction
+until occupancy drops far), NEE shadow rays batched per round, balance-
+heuristic MIS between BSDF sampling and next-event estimation (instance
+lights ∪ environment).
+
+Medium-aware mode (settings.medium_aware): each ray tracks its current
+medium id (the reference keeps a sorted `tracked_mediums` stack,
+utils.rs:940-1005; the wavefront carries the innermost id — equivalent for
+non-overlapping media). Per round: sample a free-flight distance against
+σ_s; if it beats the surface hit the lane scatters in-medium via the phase
+function, else the surface interaction runs and transmissive boundaries
+swap the tracked id. Either way β *= e^{-σ_a·t} (σ_s cancels against the
+exponential-sampling pdf).
 
 Transport-mode note: camera paths here use TransportMode.Radiance (PBRT
-convention — the quantity carried is radiance, so refraction applies the
-Veach 5.2.2.1 η² factor); the reference labels the same camera-path mode
-"Importance" (src/lib.rs TransportMode) — the physics is identical, only
-the label differs.
+convention — refraction applies the Veach 5.2.2.1 η² factor); the reference
+labels the same camera-path mode "Importance" — physics identical, label
+flipped.
 """
 
 from __future__ import annotations
@@ -25,11 +34,8 @@ import jax.numpy as jnp
 from pathtracer_tpu.core import sampling, vecmath, cie
 from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
 from pathtracer_tpu.geometry import intersect_dense, sample_surface
-from pathtracer_tpu.materials import (
-    bsdf_eval,
-    bsdf_sample,
-    emission,
-)
+from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission
+from pathtracer_tpu.mediums.tables import medium_coefficients, phase_eval, phase_sample
 from pathtracer_tpu.prelude import (
     INTERSECTION_TIME_OFFSET,
     NORMAL_OFFSET,
@@ -61,7 +67,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
     """Trace one wavefront of camera rays to completion.
 
     o0, d0: f32[N,3] camera rays; lam: f32[N] sampled wavelengths;
-    key: PRNG key for the walk. Returns (energy f32[N], profile f32[5]).
+    key: PRNG key for the walk. Returns (energy f32[N], counters f32[5]).
     Energy is spectral radiance at λ — callers convert via CIE and the λ-pdf.
     """
     n = o0.shape[0]
@@ -70,30 +76,51 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
     # NEE picks the environment with env_prob (or always, if no lights exist)
     p_env = jnp.where(have_lights, env_prob, 1.0)
     nee_enabled = settings.light_samples > 0
+    medium_aware = settings.medium_aware
 
     def mis_or_one(use_mis, pdf_a, pdf_b):
         w = power_heuristic(pdf_a, jnp.maximum(pdf_b, 0.0))
         return jnp.where(use_mis & (pdf_a + pdf_b > 0.0), w, 1.0)
 
     def body(state):
-        (bounce, o, d, beta, radiance, alive, prev_pdf, counters) = state
+        (bounce, o, d, beta, radiance, alive, prev_pdf, cur_med, counters) = state
         kb = sampling.fold(key, bounce)
-        u = jax.random.uniform(kb, (n, 4 + 3 * max(settings.light_samples, 1)))
+        u = jax.random.uniform(kb, (n, 7 + 3 * max(settings.light_samples, 1)))
         hr = intersect_dense(
             world.prims, o, d,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
 
+        # ---- free-flight sampling in the tracked medium (utils.rs:767-805)
+        if medium_aware:
+            sigma_s, sigma_a, _ = medium_coefficients(world.mediums, world.bank, cur_med, lam)
+            flight = jnp.where(
+                sigma_s > 1e-12,
+                -jnp.log(jnp.maximum(1.0 - u[:, 4], 1e-12)) / jnp.maximum(sigma_s, 1e-12),
+                jnp.inf,
+            )
+            surf_t = jnp.where(hr.hit, hr.t, RAY_TMAX)
+            scattered = alive & (flight < surf_t)
+            travel = jnp.minimum(flight, surf_t)
+            # σ_s cancels against the sampling pdf; absorption survives
+            beta = beta * jnp.where(
+                alive & (cur_med != 0), jnp.exp(-sigma_a * jnp.minimum(travel, 1e8)), 1.0
+            )
+        else:
+            scattered = jnp.zeros((n,), bool)
+
+        at_surface = alive & hr.hit & ~scattered
+
         # ---- environment escape (utils.rs:344-373 + pt.rs:487-511)
-        escaped = alive & ~hr.hit
+        escaped = alive & ~hr.hit & ~scattered
         env_e = env_emission(world.env, world.bank, world.tex, d, lam)
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce > 0) & nee_enabled & (p_env > 0.0)
         w_env = mis_or_one(use_mis_env, prev_pdf, env_nee_pdf)
         radiance = radiance + jnp.where(escaped, beta * env_e * w_env, 0.0)
         counters = counters.at[prof.ENV_HITS].add(jnp.sum(escaped.astype(jnp.float32)))
-        alive = alive & hr.hit
+        alive = alive & (hr.hit | scattered)
 
         # ---- emissive hit (pt.rs:512-560)
         wi_world = -d
@@ -105,29 +132,34 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         )
         use_mis_light = (bounce > 0) & nee_enabled & have_lights
         w_light = mis_or_one(use_mis_light, prev_pdf, hyp_nee_pdf)
-        is_light_hit = alive & (hr.mat_kind == 1)
+        is_light_hit = at_surface & (hr.mat_kind == 1)
         radiance = radiance + jnp.where(is_light_hit, beta * le * w_light, 0.0)
 
         if settings.only_direct:
             # direct-only: bsdf-hit emission at bounce 1 was just added; stop
             alive = alive & (bounce < 1)
 
-        # ---- local frame at the hit
+        # ---- local frame at the hit / scatter point
         frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
         wi_local = frame.to_local(wi_world)
+        if medium_aware:
+            scatter_p = o + travel[..., None] * d
+            point = jnp.where(scattered[..., None], scatter_p, hr.point)
+        else:
+            point = hr.point
 
         # ---- next-event estimation (pt.rs:333-393, estimate_direct)
         if nee_enabled:
             inv_ls = 1.0 / settings.light_samples
             for s in range(settings.light_samples):
-                u_pick = u[:, 4 + 3 * s]
-                u1 = u[:, 5 + 3 * s]
-                u2 = u[:, 6 + 3 * s]
+                u_pick = u[:, 7 + 3 * s]
+                u1 = u[:, 8 + 3 * s]
+                u2 = u[:, 9 + 3 * s]
                 chose_env, u_pick2 = sampling.choose(u_pick, p_env)
                 # instance-light branch
                 light_prim, lp_pdf = world.pick_random_light(u_pick2)
                 lp, ln, area_pdf = sample_surface(world.prims, light_prim, u1, u2)
-                to_l = lp - hr.point
+                to_l = lp - point
                 dist2 = jnp.maximum(vecmath.length_squared(to_l), 1e-12)
                 dist = jnp.sqrt(dist2)
                 dir_l = to_l / dist[..., None]
@@ -148,20 +180,36 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 nee_pdf = jnp.where(chose_env, sa_pdf_env, sa_pdf_light)
                 nee_le = jnp.where(chose_env, le_env, le_nee)
                 # 1% end margin keeps the sampled light itself (and the
-                # origin offset) out of the occlusion interval — the
+                # origin offset) outside the occlusion interval — the
                 # reference's veach_v uses the same tmax*0.99 slack
                 # (src/integrator/utils.rs:136-146)
                 nee_tmax = jnp.where(chose_env, RAY_TMAX, dist * 0.99)
 
                 wo_local = frame.to_local(nee_dir)
-                f, f_pdf = bsdf_eval(
+                f_surf, pdf_surf = bsdf_eval(
                     world.mats, world.bank, world.tex,
                     jnp.maximum(hr.material_id, 0), lam, hr.uv,
                     wi_local, wo_local, TransportMode.Radiance,
                 )
-                worth = alive & (nee_le > 0.0) & (nee_pdf > 1e-12) & (f > 0.0)
-                so = hr.point + hr.geo_normal * (
-                    NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, nee_dir))
+                thr_surf = f_surf * jnp.abs(wo_local[..., 2])
+                if medium_aware:
+                    # phase angle is between the propagation direction d and
+                    # the outgoing NEE direction
+                    ph = phase_eval(
+                        world.mediums, world.bank, cur_med, lam,
+                        vecmath.dot(d, nee_dir),
+                    )
+                    thr = jnp.where(scattered, ph, thr_surf)
+                    fwd_pdf = jnp.where(scattered, ph, pdf_surf)
+                else:
+                    thr = thr_surf
+                    fwd_pdf = pdf_surf
+                worth = alive & (nee_le > 0.0) & (nee_pdf > 1e-12) & (thr > 0.0)
+                offset_n = jnp.where(
+                    scattered[..., None], jnp.zeros_like(hr.geo_normal), hr.geo_normal
+                )
+                so = point + offset_n * (
+                    NORMAL_OFFSET * jnp.sign(vecmath.dot(offset_n, nee_dir) + 1e-9)
                 )[..., None]
                 shadow_hr = intersect_dense(
                     world.prims, so, nee_dir,
@@ -169,29 +217,44 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                     nee_tmax,
                 )
                 visible = ~shadow_hr.hit
-                w_nee = mis_or_one(jnp.full((n,), True), nee_pdf, f_pdf)
-                contrib = (
-                    beta
-                    * f
-                    * jnp.abs(wo_local[..., 2])
-                    * nee_le
-                    * safe_div(w_nee, nee_pdf)
-                    * inv_ls
-                )
+                if medium_aware:
+                    # transmittance of the tracked medium along the shadow ray
+                    tr_dist = jnp.where(chose_env, 2.0 * world.radius, dist)
+                    tr = jnp.where(
+                        cur_med != 0,
+                        jnp.exp(-(sigma_s + sigma_a) * jnp.minimum(tr_dist, 1e8)),
+                        1.0,
+                    )
+                else:
+                    tr = 1.0
+                w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf)
+                contrib = beta * thr * nee_le * tr * safe_div(w_nee, nee_pdf) * inv_ls
                 radiance = radiance + jnp.where(worth & visible, contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
                     jnp.sum((alive & worth).astype(jnp.float32))
                 )
 
-        # ---- BSDF sampling + throughput update (utils.rs:214-321)
-        wo_local, f, f_pdf = bsdf_sample(
+        # ---- BSDF / phase sampling + throughput update (utils.rs:214-321)
+        wo_local, f, f_pdf, ratio_surf = bsdf_sample(
             world.mats, world.bank, world.tex,
             jnp.maximum(hr.material_id, 0), lam, hr.uv,
             wi_local, u[:, 0], u[:, 1], u[:, 2], TransportMode.Radiance,
         )
-        ratio = safe_div(f * jnp.abs(wo_local[..., 2]), f_pdf)
-        sample_ok = (f_pdf > 1e-12) & (ratio > 0.0)
+        d_surf = vecmath.normalize(frame.to_world(wo_local))
+        if medium_aware:
+            wo_med, ph_pdf = phase_sample(
+                world.mediums, world.bank, cur_med, lam, d, u[:, 5], u[:, 6]
+            )
+            # HG/Rayleigh samplers have pdf == phase value -> weight 1
+            ratio = jnp.where(scattered, 1.0, ratio_surf)
+            f_pdf = jnp.where(scattered, ph_pdf, f_pdf)
+            d_new = jnp.where(scattered[..., None], wo_med, d_surf)
+        else:
+            ratio = ratio_surf
+            d_new = d_surf
+        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio > 0.0))
         # russian roulette with continue-prob min(throughput gain, 1)
+        # (utils.rs:266-276)
         if settings.russian_roulette:
             rr_on = bounce >= settings.min_bounces
             p_cont = jnp.where(rr_on, jnp.clip(ratio, 0.05, 1.0), 1.0)
@@ -201,10 +264,22 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         beta = beta * jnp.where(sample_ok, ratio / p_cont, 0.0)
         alive = alive & sample_ok & survive & jnp.isfinite(beta)
 
-        d_new = vecmath.normalize(frame.to_world(wo_local))
-        o_new = hr.point + hr.geo_normal * (
-            NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
-        )[..., None]
+        o_new = jnp.where(
+            scattered[..., None],
+            point,
+            hr.point + hr.geo_normal * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
+            )[..., None],
+        )
+        # ---- medium boundary transitions (utils.rs:940-1005)
+        if medium_aware:
+            crossed = at_surface & (wo_local[..., 2] * wi_local[..., 2] < 0.0)
+            entering = wo_local[..., 2] < 0.0
+            mat = jnp.maximum(hr.material_id, 0)
+            new_med = jnp.where(
+                entering, world.mats.inner_medium[mat], world.mats.outer_medium[mat]
+            )
+            cur_med = jnp.where(crossed, new_med, cur_med)
         counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(alive.astype(jnp.float32)))
         return (
             bounce + 1,
@@ -214,11 +289,13 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             radiance,
             alive,
             jnp.where(alive, f_pdf, prev_pdf),
+            cur_med,
             counters,
         )
 
     def cond(state):
-        bounce, _, _, _, _, alive, _, _ = state
+        bounce = state[0]
+        alive = state[5]
         return (bounce < settings.max_bounces) & jnp.any(alive)
 
     # init state derived from the varying inputs (shard_map VMA-compatible)
@@ -232,11 +309,12 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         zero,
         zero < 1.0,
         zero,
+        zero.astype(jnp.int32),
         counters0,
     )
     state = jax.lax.while_loop(cond, body, state0)
     radiance = state[4]
-    counters = state[7]
+    counters = state[8]
     return radiance, counters
 
 

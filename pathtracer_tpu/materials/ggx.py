@@ -251,8 +251,29 @@ def sample_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability, wi, u1, u2, u
     wo_t, tir = vecmath.refract(wi, wh_towards, eta_from / jnp.maximum(eta_to, 1e-7))
     choose_reflect = (u_lobe < refl_prob) | tir | metallic
     wo = jnp.where(choose_reflect[..., None], wo_r, wo_t)
-    # guard: reflected ray ending in the wrong hemisphere gets zeroed by eval
     f, pdf = eval_ggx(
         alpha, eta_i, eta_o, kappa, metallic, permeability, wi, wo, transport_mode
     )
-    return wo, f, pdf
+    # Closed-form throughput weight f·|cosθ|/pdf for the sampled lobe —
+    # the standard VNDF estimator F·G2/G1 (reflection) and
+    # (1−F)·G2/G1·η_scale/(1−p_r) (transmission). Recomputing f/pdf for
+    # near-delta lobes cancels ~1e8-scale quantities and is numerically
+    # unstable; this form is exact and O(1).
+    g2 = smith_g2(alpha, wi, wo)
+    g1 = smith_g1(alpha, jnp.where((wi[..., 2] < 0)[..., None], -wi, wi))
+    g_ratio = safe_div(g2, g1)
+    eta_scale = jnp.where(
+        transport_mode == TransportMode.Radiance,
+        safe_div(eta_from * eta_from, eta_to * eta_to, 1.0),
+        1.0,
+    )
+    w_reflect = safe_div(fres * g_ratio, refl_prob)
+    w_trans = g_ratio * eta_scale
+    same_hemi = wi[..., 2] * wo[..., 2] > 0.0
+    weight = jnp.where(
+        choose_reflect,
+        jnp.where(same_hemi, w_reflect, 0.0),
+        jnp.where(same_hemi, 0.0, w_trans),
+    )
+    weight = jnp.where(jnp.isfinite(weight) & (weight >= 0.0), weight, 0.0)
+    return wo, f, pdf, weight

@@ -99,12 +99,16 @@ def bsdf_eval(mats: Materials, bank, tex: Textures, mat_id, lam, uv, wi, wo, mod
 
 def bsdf_sample(mats: Materials, bank, tex: Textures, mat_id, lam, uv, wi, u1, u2, u_lobe, mode):
     """Sample wo and evaluate — generate_and_evaluate equivalent.
-    Returns (wo, f, pdf_solid_angle)."""
+    Returns (wo, f, pdf_solid_angle, weight) where weight is the exact
+    throughput multiplier f·|cosθ_o|/pdf of the sampled lobe, computed in
+    closed form (numerically stable for near-delta lobes)."""
     mtype = mats.mtype[mat_id]
     refl = _reflectance(mats, bank, tex, mat_id, lam, uv)
     wo_lam, f_lam, pdf_lam = lam_mod.sample_lambertian(refl, wi, u1, u2)
+    # cosine sampling: f·cos/pdf == reflectance, exactly
+    w_lam = jnp.minimum(refl, 1.0)
     alpha, eta_i, eta_o, kappa = _ggx_params(mats, bank, mat_id, lam)
-    wo_ggx, f_ggx, pdf_ggx = ggx_mod.sample_ggx(
+    wo_ggx, f_ggx, pdf_ggx, w_ggx = ggx_mod.sample_ggx(
         alpha, eta_i, eta_o, kappa, mats.metallic[mat_id],
         mats.permeability[mat_id], wi, u1, u2, u_lobe, mode,
     )
@@ -112,7 +116,9 @@ def bsdf_sample(mats: Materials, bank, tex: Textures, mat_id, lam, uv, wi, u1, u
     wo = jnp.where(is_ggx, wo_ggx, wo_lam)
     f = jnp.where(mtype == MAT_GGX, f_ggx, f_lam)
     pdf = jnp.where(mtype == MAT_GGX, pdf_ggx, pdf_lam)
-    return wo, f, pdf
+    weight = jnp.where(mtype == MAT_GGX, w_ggx, w_lam)
+    is_pass = mtype == MAT_PASSTHROUGH
+    return wo, f, jnp.where(is_pass, 0.0, pdf), jnp.where(is_pass, 0.0, weight)
 
 
 def emission(mats: Materials, bank, mat_id, lam, uv, cos_theta):

@@ -13,17 +13,21 @@ from pathtracer_tpu.core import vecmath
 
 
 def hg_phase(g, cos_theta):
-    """HG phase function value p(cosθ) (normalised over the sphere)."""
+    """HG phase p(cosθ), θ between incoming and outgoing propagation
+    directions; forward peak at cosθ=+1 for g>0. Normalised over the
+    sphere."""
     g2 = g * g
-    denom = 1.0 + g2 + 2.0 * g * cos_theta
+    denom = 1.0 + g2 - 2.0 * g * cos_theta
     return (1.0 - g2) / jnp.maximum(4.0 * jnp.pi * denom * jnp.sqrt(jnp.maximum(denom, 1e-12)), 1e-12)
 
 
 def hg_sample_cos(g, u):
-    """Inverse-CDF sample of cosθ for HG (isotropic fallback at g≈0)."""
-    iso = 1.0 - 2.0 * u
-    sq = (1.0 - g * g) / (1.0 + g * (1.0 - 2.0 * u))
-    aniso = (1.0 + g * g - sq * sq) / jnp.maximum(2.0 * g, 1e-9)
+    """Inverse-CDF sample of cosθ for HG (isotropic fallback at g≈0):
+    c(u) = (1+g² − ((1−g²)/(1−g+2gu))²)/(2g); u=0 → backward (−1),
+    u=1 → forward (+1)."""
+    iso = 2.0 * u - 1.0
+    sq = (1.0 - g * g) / jnp.where(jnp.abs(g) > 1e-6, 1.0 - g + 2.0 * g * u, 1.0)
+    aniso = (1.0 + g * g - sq * sq) / jnp.where(jnp.abs(g) > 1e-6, 2.0 * g, 1.0)
     return jnp.clip(jnp.where(jnp.abs(g) < 1e-4, iso, aniso), -1.0, 1.0)
 
 

@@ -1,0 +1,76 @@
+"""Medium-aware PT end-to-end checks with analytic expectations
+(cornell_box_medium.toml capability, src/integrator/utils.rs:708-1103)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.core import spectral
+from pathtracer_tpu.integrator.pt import PTSettings, pt_trace
+from pathtracer_tpu.parsing import SceneBuilder
+
+
+def _medium_sphere_world(sigma_s, sigma_a, g=1.0):
+    """Near-index-matched sphere boundary (η=1.03, like the reference's
+    isotropic_uniform_dense_bright material) filled with a HG medium, in a
+    unit constant environment. η exactly 1 makes the microfacet transmission
+    half-vector degenerate, so a slight mismatch is used."""
+    b = SceneBuilder()
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    g_curve = b.add_curve(spectral.FlatCurve(g), name="g")
+    ss = b.add_curve(spectral.FlatCurve(sigma_s), name="ss")
+    sa = b.add_curve(spectral.FlatCurve(sigma_a), name="sa")
+    med = b.add_medium_hg(g_curve, ss, sa, name="fog")
+    eta = b.add_curve(spectral.FlatCurve(1.03), name="eta")
+    eta_o = b.add_curve(spectral.FlatCurve(1.0), name="eta_o")
+    m = b.add_ggx(0.001, eta, eta_o, zero, permeability=1.0,
+                  inner_medium=med, outer_medium=0, name="boundary")
+    b.add_sphere([0.0, 0.0, 0.0], 1.0, m)
+    b.set_environment_constant(one, 1.0)
+    b.env_sampling_probability = 1.0
+    return b.build()
+
+
+def _trace_through_center(world, medium_aware, light_samples=0, n=40_000,
+                          max_bounces=32):
+    o = jnp.tile(jnp.array([[-4.0, 0.0, 0.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    lam = jnp.full((n,), 550.0)
+    s = PTSettings(max_bounces=max_bounces, min_bounces=max_bounces,
+                   light_samples=light_samples, russian_roulette=False,
+                   medium_aware=medium_aware)
+    e, _ = pt_trace(world, s, o, d, lam, jax.random.PRNGKey(0))
+    return float(jnp.mean(e))
+
+
+def test_absorbing_medium_beer_lambert():
+    """σ_s=0, σ_a=0.5 inside a unit sphere: a through-center ray must
+    attenuate by exp(-σ_a · 2R)."""
+    world = _medium_sphere_world(sigma_s=0.0, sigma_a=0.5)
+    est = _trace_through_center(world, medium_aware=True, max_bounces=4)
+    expected = np.exp(-0.5 * 2.0)
+    assert est == pytest.approx(expected, rel=0.02), (est, expected)
+
+
+def test_medium_ignored_when_disabled():
+    world = _medium_sphere_world(sigma_s=0.0, sigma_a=0.5)
+    est = _trace_through_center(world, medium_aware=False, max_bounces=4)
+    assert est == pytest.approx(1.0, rel=0.02)
+
+
+def test_scattering_medium_furnace():
+    """Pure scattering (σ_a=0, isotropic) in a constant unit furnace must
+    conserve energy: every path eventually exits carrying weight 1."""
+    world = _medium_sphere_world(sigma_s=1.0, sigma_a=0.0, g=0.0)
+    est = _trace_through_center(world, medium_aware=True, max_bounces=64)
+    assert est == pytest.approx(1.0, rel=0.03), est
+
+
+def test_forward_scattering_g_sign():
+    """g=0.9 strongly forward: radiance through the sphere stays close to 1
+    even with large σ_s (photons keep going forward); g=-0.9 backscatters."""
+    world_f = _medium_sphere_world(sigma_s=2.0, sigma_a=0.0, g=0.9)
+    est_f = _trace_through_center(world_f, medium_aware=True, max_bounces=64)
+    assert est_f == pytest.approx(1.0, rel=0.05)
