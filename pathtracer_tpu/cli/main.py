@@ -25,7 +25,9 @@ from pathtracer_tpu.parsing.construct import construct_world
 from pathtracer_tpu.parsing.cameras import build_camera
 from pathtracer_tpu.parsing.paths import DEFAULT_SEARCH_PATHS, resolve
 from pathtracer_tpu.integrator.pt import PTSettings
+from pathtracer_tpu.integrator.lt import LTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
+from pathtracer_tpu.renderer.splatted import render_splatted
 from pathtracer_tpu.renderer.output import output_film
 from pathtracer_tpu.tonemap import Clamp, Reinhard0, Reinhard0x3, Reinhard1, Reinhard1x3
 
@@ -54,10 +56,30 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
     spec = bundle.camera_by_id(rs.camera_id)
     camera = build_camera(spec, aspect_ratio=width / height)
     integ = rs.integrator
-    if integ.kind != "PT":
+    if integ.kind not in ("PT", "LT"):
         log.warning("integrator %s not yet wired into the CLI; falling back to PT "
                     "(the reference falls back likewise, src/integrator/mod.rs:106-119)",
                     integ.kind)
+    t0 = time.perf_counter()
+    tm = make_tonemapper(rs.tonemap)
+    if integ.kind == "LT":
+        settings = LTSettings(
+            max_bounces=rs.max_bounces,
+            min_bounces=rs.min_bounces,
+            camera_samples=integ.camera_samples,
+            russian_roulette=rs.russian_roulette,
+            wavelength_bounds=rs.wavelength_bounds,
+        )
+        film, profile, elapsed = render_splatted(
+            bundle.world, camera, settings, width, height, spp, key=key,
+            progress=lambda done, total: log.info("  LT chunk %d/%d", done, total),
+        )
+        log.info("%s", profile.pretty_print(elapsed, jax.device_count()))
+        # reference writes the splat film as *_lightfilm (naive.rs:351-403)
+        exr, png = output_film(film, rs.filename + "_lightfilm", tm, rs.colorspace,
+                               rs.premultiply, output_dir)
+        log.info("wrote %s, %s (%.1fs total)", exr, png, time.perf_counter() - t0)
+        return film, profile
     settings = PTSettings(
         max_bounces=rs.max_bounces,
         min_bounces=rs.min_bounces,
@@ -67,14 +89,12 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
         medium_aware=integ.medium_aware,
         wavelength_bounds=rs.wavelength_bounds,
     )
-    t0 = time.perf_counter()
     film, profile, elapsed = render_sampled(
         bundle.world, camera, settings, width, height, spp, key=key,
         sample_chunk=min(8, spp),
         progress=lambda done, total: log.info("  %d/%d spp", done, total),
     )
     log.info("%s", profile.pretty_print(elapsed, jax.device_count()))
-    tm = make_tonemapper(rs.tonemap)
     exr, png = output_film(film, rs.filename, tm, rs.colorspace, rs.premultiply, output_dir)
     log.info("wrote %s, %s (%.1fs total)", exr, png, time.perf_counter() - t0)
     return film, profile

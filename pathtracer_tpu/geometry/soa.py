@@ -153,11 +153,17 @@ def _chunk_ts(prims: Primitives, idx, o, d, t_min, t_max):
     like src/geometry/instance.rs:89-133)."""
     pa, pb, pc = prims.pa[idx], prims.pb[idx], prims.pc[idx]
     ptype = prims.ptype[idx]
-    tid = prims.transform_id[idx]
-    m_inv = prims.xf_inv[tid]  # [C,4,4]
-    # local rays: [N,C,3]
-    o_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], o) + m_inv[None, :, :3, 3]
-    d_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], d)
+    if prims.xf_inv.shape[0] == 1:
+        # static fast path: the whole scene is in world space (no instance
+        # transforms) — skip the per-(ray, prim) 3x3 applications entirely
+        o_l = o[:, None, :]
+        d_l = d[:, None, :]
+    else:
+        tid = prims.transform_id[idx]
+        m_inv = prims.xf_inv[tid]  # [C,4,4]
+        # local rays: [N,C,3]
+        o_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], o) + m_inv[None, :, :3, 3]
+        d_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], d)
     pa_b, pb_b, pc_b = pa[None], pb[None], pc[None]
     tmin_b = t_min[:, None]
     tmax_b = t_max[:, None]
@@ -206,9 +212,24 @@ def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> 
 
 
 def intersect_any_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None):
-    """Occlusion query: does any primitive block (t_min, t_max)? -> bool[N]."""
-    hr = intersect_dense(prims, o, d, t_min, t_max, ignore_prim=ignore_prim)
-    return hr.hit
+    """Occlusion query: does any primitive block (t_min, t_max)? -> bool[N].
+
+    Cheaper than intersect_dense: no argmin bookkeeping, no attribute fill —
+    this is the shadow-ray hot path (~half of all ray tests in NEE-heavy
+    renders, see src/integrator/pt.rs:177)."""
+    n = o.shape[0]
+    p = prims.count
+    chunk_ids = jnp.arange(p, dtype=jnp.int32).reshape(p // _CHUNK, _CHUNK)
+
+    def body(blocked, idx):
+        t = _chunk_ts(prims, idx, o, d, t_min, t_max)
+        if ignore_prim is not None:
+            t = jnp.where(idx[None] == ignore_prim[:, None], jnp.inf, t)
+        return blocked | jnp.any(jnp.isfinite(t), axis=-1), None
+
+    zero = o[:, 0] * 0.0 + t_min * 0.0
+    blocked, _ = jax.lax.scan(body, zero > 1.0, chunk_ids)
+    return blocked
 
 
 def _fill_attributes(prims: Primitives, o, d, t, pid, hit) -> HitRecord:
@@ -216,11 +237,15 @@ def _fill_attributes(prims: Primitives, o, d, t, pid, hit) -> HitRecord:
     pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
     na, nb, nc = prims.na[pid], prims.nb[pid], prims.nc[pid]
     ptype = prims.ptype[pid]
-    tid = prims.transform_id[pid]
-    m_fwd = prims.xf_fwd[tid]
-    m_inv = prims.xf_inv[tid]
-    o_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], o) + m_inv[:, :3, 3]
-    d_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], d)
+    identity_only = prims.xf_inv.shape[0] == 1
+    if identity_only:
+        o_l, d_l = o, d
+    else:
+        tid = prims.transform_id[pid]
+        m_fwd = prims.xf_fwd[tid]
+        m_inv = prims.xf_inv[tid]
+        o_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], o) + m_inv[:, :3, 3]
+        d_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], d)
     p_l = o_l + t[..., None] * d_l
 
     # triangle attrs (world space already)
@@ -273,9 +298,12 @@ def _fill_attributes(prims: Primitives, o, d, t, pid, hit) -> HitRecord:
                              jnp.where(is_rec[..., :1], rect_uv, zero_uv)))
 
     # back to world
-    point = jnp.einsum("nij,nj->ni", m_fwd[:, :3, :3], p_l) + m_fwd[:, :3, 3]
-    normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], n_local))
-    geo_normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], gn_local))
+    if identity_only:
+        point, normal, geo_normal = p_l, n_local, gn_local
+    else:
+        point = jnp.einsum("nij,nj->ni", m_fwd[:, :3, :3], p_l) + m_fwd[:, :3, 3]
+        normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], n_local))
+        geo_normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], gn_local))
 
     return HitRecord(
         t=jnp.where(hit, t, RAY_TMAX),

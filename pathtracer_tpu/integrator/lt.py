@@ -1,0 +1,253 @@
+"""Light tracing (particle tracing) with camera-importance splats.
+
+Capability parity with the reference's LightTracingIntegrator
+(src/integrator/lt.rs): pick an instance light (or the environment) by
+env probability, sample an emission position + direction + wavelength, walk
+the light path (TransportMode::Importance — no η² factor on refraction),
+and at every vertex connect to the camera lens: visibility test, film-uv
+lookup via get_pixel_for_ray, splat the contribution.
+
+TPU design: the crossbeam splat channel (src/renderer/naive.rs:173-245)
+becomes a scatter-add into the device light film — `film.at[pixel].add(xyz)`
+— so splats cost one segment-sum per round instead of a consumer thread.
+The camera importance W_e is evaluated in closed form for the thin-lens
+camera (focal²/(cos³θ·A_pixel_fp), lens pdf divided out), making LT films
+directly comparable to PT films at equal spp.
+
+Not yet modelled (round-1 gaps, like-for-like with the reference's own
+TODOs): direct light→lens hits (reference handles via Camera-tagged lens
+proxy geometry); medium-aware light paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import sampling, vecmath, cie
+from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
+from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
+from pathtracer_tpu.materials import bsdf_sample, bsdf_eval, emission, sample_emission_spectrum
+from pathtracer_tpu.materials.tables import MAT_SHARP_LIGHT
+from pathtracer_tpu.prelude import (
+    INTERSECTION_TIME_OFFSET,
+    NORMAL_OFFSET,
+    RAY_TMAX,
+    TransportMode,
+    safe_div,
+)
+from pathtracer_tpu.utils import profile as prof
+from pathtracer_tpu.world.environment import env_sample_uv, env_emission
+from pathtracer_tpu.world.world import World
+
+
+@dataclasses.dataclass(frozen=True)
+class LTSettings:
+    """Mirrors RenderSettings + IntegratorKind::LT
+    (src/parsing/config.rs — camera_samples)."""
+
+    max_bounces: int = 8
+    min_bounces: int = 1
+    camera_samples: int = 1
+    russian_roulette: bool = True
+    wavelength_bounds: Bounds1D = BOUNDED_VISIBLE_RANGE
+
+
+def _sample_emission_direction(world, mat_id, normal, u1, u2, u_side):
+    """Direction + solid-angle pdf from a light surface point
+    (DiffuseLight cosine / SharpLight cosine-power, sidedness-aware;
+    src/materials/diffuse_light.rs:77-121, sharp_light.rs:32-40).
+    Returns (direction_world, pdf_solid_angle, cos_theta)."""
+    mats = world.mats
+    sharp = mats.mtype[mat_id] == MAT_SHARP_LIGHT
+    # diffuse light: plain cosine lobe (n=1 gives pdf (n+1)cosⁿ/2π = cos/π);
+    # sharp light: cosine-power with `sharpness` as the exponent
+    nexp = jnp.where(sharp, mats.sharpness[mat_id], 1.0)
+    local = sampling.power_cosine_direction(u1, u2, nexp)
+    side = mats.sidedness[mat_id]
+    # Forward=+n, Reverse=-n, Dual: pick a side from u_side (half prob each)
+    pick_rev = jnp.where(side == 1, True, jnp.where(side == 0, False, u_side < 0.5))
+    t_ax, b_ax = vecmath.orthonormal_basis(normal)
+    frame_n = jnp.where(pick_rev[..., None], -normal, normal)
+    d = (
+        local[..., 0:1] * t_ax
+        + local[..., 1:2] * b_ax
+        + local[..., 2:3] * frame_n
+    )
+    cos_t = jnp.abs(local[..., 2])
+    pdf = (nexp + 1.0) * cos_t**nexp / (2.0 * jnp.pi)
+    pdf = jnp.where(side == 2, pdf * 0.5, pdf)
+    return d, pdf, cos_t
+
+
+def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens, counters):
+    """Direct camera connection (evaluate_direct_importance equivalent,
+    src/integrator/lt.rs:11-77). beta_f: throughput × bsdf/phase value ×
+    (local cos at the vertex handled by caller). Returns (pixel_id, xyz,
+    valid)."""
+    lens_xy = sampling.random_in_unit_disk(u_lens[..., 0], u_lens[..., 1]) * camera.lens_radius
+    lens_pt = camera.origin + lens_xy[..., 0:1] * camera.u + lens_xy[..., 1:2] * camera.v
+    to_cam = lens_pt - point
+    dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+    dist = jnp.sqrt(dist2)
+    dir_c = to_cam / dist[..., None]
+    # the ray entering the lens travels -dir_c ... from camera: d = -dir_c
+    film_u, film_v, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
+    cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+    # importance: focal² / (cos³θ · A_pixel_fp); lens pdf (1/A_lens) divided
+    # out by the A_lens in the measurement — cancels for pinhole too
+    a_pix_fp = (
+        (2.0 * camera.half_width)
+        * (2.0 * camera.half_height)
+    )
+    we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 3 * a_pix_fp)
+    # area-form connection: the vertex cosine lives in beta_f, the off-axis
+    # lens cosines live in we (cos³θ); only the 1/d² Jacobian remains here
+    geo = safe_div(1.0, dist2)
+    # visibility (veach_v, utils.rs:136-146)
+    if normal_or_none is None:
+        so = point
+    else:
+        so = point + normal_or_none * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(normal_or_none, dir_c) + 1e-9)
+        )[..., None]
+    blocked = intersect_any_dense(
+        world.prims, so, dir_c,
+        jnp.full(point.shape[:1], INTERSECTION_TIME_OFFSET, jnp.float32),
+        dist * 0.99,
+    )
+    counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum((~blocked).astype(jnp.float32)))
+    energy = beta_f * geo * we
+    valid = on_film & ~blocked & (energy > 0.0) & jnp.isfinite(energy)
+    return film_u, film_v, energy, valid, counters
+
+
+def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int, n_paths: int, key):
+    """Trace n_paths light paths, splatting camera connections.
+    Returns (light_film [H*W, 3] xyz sum, counters). Caller divides by the
+    number of paths-per-pixel equivalent (n_paths / (W·H))."""
+    n = n_paths
+    wb = settings.wavelength_bounds
+    k_init, k_walk = jax.random.split(key)
+    u0 = jax.random.uniform(k_init, (n, 8))
+
+    # ---- emission sampling (lt.rs:106-158)
+    light_prim, pick_pdf = world.pick_random_light(u0[:, 0])
+    lp, ln, area_pdf = sample_surface(world.prims, light_prim, u0[:, 1], u0[:, 2])
+    mat_id = world.prims.material_id[light_prim]
+    lam, power, lam_pdf = sample_emission_spectrum(world.mats, world.bank, mat_id, u0[:, 3], wb)
+    d0, dir_pdf, cos0 = _sample_emission_direction(world, mat_id, ln, u0[:, 4], u0[:, 5], u0[:, 6])
+    # emitted radiance toward d0 (sidedness gate folded into emission())
+    le = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), vecmath.dot(ln, d0))
+    # particle weight: Le·cos/(p_pick·p_A·p_ω·p_λ)
+    beta = safe_div(le * cos0, pick_pdf * area_pdf * dir_pdf * lam_pdf)
+    beta = jnp.where(jnp.isfinite(beta) & (beta > 0.0), beta, 0.0)
+    alive = (beta > 0.0) & (world.n_lights > 0)
+    o = lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None]
+    d = d0
+
+    film = jnp.zeros((width * height, 3), jnp.float32)
+    counters = prof.zeros().at[prof.LIGHT_RAYS].add(float(n)) + jnp.sum(beta * 0.0)
+
+    def splat(film, film_u, film_v, energy, valid, lam):
+        px = jnp.clip((film_u * width).astype(jnp.int32), 0, width - 1)
+        py = jnp.clip((film_v * height).astype(jnp.int32), 0, height - 1)
+        pid = py * width + px
+        # beta already divides by the emission λ-pdf, so the estimator of
+        # ∫x̄(λ)L(λ)dλ needs NO extra span factor (unlike PT's uniform-λ)
+        xyz = cie.wavelength_to_xyz(lam, jnp.where(valid, energy, 0.0))
+        return film.at[jnp.where(valid, pid, 0)].add(jnp.where(valid[..., None], xyz, 0.0))
+
+    # connect the light vertex itself to the camera (s=1 paths)
+    le_cam = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), jnp.ones((n,)))
+
+    def light_vertex_connect(film, counters, key_c):
+        uc = jax.random.uniform(key_c, (n, 2))
+        # emission toward the camera requires the actual cosine; compute dir first
+        lens_pt = camera.origin
+        to_cam = lens_pt - lp
+        dir_c = vecmath.normalize(to_cam)
+        cos_lc = vecmath.dot(ln, dir_c)
+        le_c = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), cos_lc)
+        fu, fv, energy, valid, counters = _connect_to_camera(
+            world, camera, lp, ln,
+            safe_div(le_c * jnp.abs(cos_lc), pick_pdf * area_pdf * lam_pdf),
+            lam, uc, counters,
+        )
+        return splat(film, fu, fv, energy, valid, lam), counters
+
+    film, counters = light_vertex_connect(film, counters, sampling.fold(k_walk, 999))
+
+    def body(state):
+        bounce, o, d, beta, alive, film, counters = state
+        kb = sampling.fold(k_walk, bounce)
+        u = jax.random.uniform(kb, (n, 4 + 2 * settings.camera_samples))
+        hr = intersect_dense(
+            world.prims, o, d,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            jnp.full((n,), RAY_TMAX, jnp.float32),
+        )
+        alive = alive & hr.hit
+        frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
+        wi_local = frame.to_local(-d)
+
+        # ---- camera connections at this surface vertex (lt.rs:234-248)
+        inv_cs = 1.0 / settings.camera_samples
+        for c in range(settings.camera_samples):
+            uc = u[:, 4 + 2 * c : 6 + 2 * c]
+            to_cam_dir = vecmath.normalize(camera.origin - hr.point)
+            wo_local = frame.to_local(to_cam_dir)
+            f_c, _ = bsdf_eval(
+                world.mats, world.bank, world.tex,
+                jnp.maximum(hr.material_id, 0), lam, hr.uv,
+                wi_local, wo_local, TransportMode.Importance,
+            )
+            beta_f = beta * f_c * jnp.abs(wo_local[..., 2]) * inv_cs
+            fu, fv, energy, valid, counters = _connect_to_camera(
+                world, camera, hr.point, hr.geo_normal, beta_f, lam, uc, counters
+            )
+            film = splat(film, fu, fv, jnp.where(alive, energy, 0.0), valid & alive, lam)
+
+        # ---- continue the walk (Importance transport)
+        wo_local, f, f_pdf, ratio = bsdf_sample(
+            world.mats, world.bank, world.tex,
+            jnp.maximum(hr.material_id, 0), lam, hr.uv,
+            wi_local, u[:, 0], u[:, 1], u[:, 2], TransportMode.Importance,
+        )
+        if settings.russian_roulette:
+            rr_on = bounce >= settings.min_bounces
+            p_cont = jnp.where(rr_on, jnp.clip(ratio, 0.05, 1.0), 1.0)
+        else:
+            p_cont = jnp.ones((n,), jnp.float32)
+        survive = u[:, 3] < p_cont
+        sample_ok = (f_pdf > 1e-12) & (ratio > 0.0)
+        beta = beta * jnp.where(sample_ok, ratio / p_cont, 0.0)
+        alive = alive & sample_ok & survive & jnp.isfinite(beta)
+        d_new = vecmath.normalize(frame.to_world(wo_local))
+        o_new = hr.point + hr.geo_normal * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
+        )[..., None]
+        counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(alive.astype(jnp.float32)))
+        return (
+            bounce + 1,
+            jnp.where(alive[..., None], o_new, o),
+            jnp.where(alive[..., None], d_new, d),
+            beta,
+            alive,
+            film,
+            counters,
+        )
+
+    def cond(state):
+        return (state[0] < settings.max_bounces) & jnp.any(state[4])
+
+    state0 = (jnp.int32(0), o, d, beta, alive, film, counters)
+    state = jax.lax.while_loop(cond, body, state0)
+    return state[5], state[6]
+
+
+def _frame_arrays(normal):
+    t, b = vecmath.orthonormal_basis(normal)
+    return t, b, normal

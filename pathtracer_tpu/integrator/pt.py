@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from pathtracer_tpu.core import sampling, vecmath, cie
 from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
-from pathtracer_tpu.geometry import intersect_dense, sample_surface
+from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
 from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission
 from pathtracer_tpu.mediums.tables import medium_coefficients, phase_eval, phase_sample
 from pathtracer_tpu.prelude import (
@@ -211,12 +211,12 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 so = point + offset_n * (
                     NORMAL_OFFSET * jnp.sign(vecmath.dot(offset_n, nee_dir) + 1e-9)
                 )[..., None]
-                shadow_hr = intersect_dense(
+                blocked = intersect_any_dense(
                     world.prims, so, nee_dir,
                     jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
                     nee_tmax,
                 )
-                visible = ~shadow_hr.hit
+                visible = ~blocked
                 if medium_aware:
                     # transmittance of the tracked medium along the shadow ray
                     tr_dist = jnp.where(chose_env, 2.0 * world.radius, dist)

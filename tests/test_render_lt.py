@@ -1,0 +1,83 @@
+"""Light tracing vs path tracing consistency: both are unbiased estimators
+of the same measurement, so their films must converge to the same values
+(reference capability: LT configs + the `_combined` output,
+src/integrator/lt.rs + src/renderer/naive.rs:351-403)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.camera import make_projective_camera
+from pathtracer_tpu.core import spectral
+from pathtracer_tpu.integrator.pt import PTSettings
+from pathtracer_tpu.integrator.lt import LTSettings
+from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
+from pathtracer_tpu.parsing import SceneBuilder
+from pathtracer_tpu.renderer import render_sampled
+from pathtracer_tpu.renderer.splatted import render_splatted
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.7), name="white")
+    emit = b.add_curve(spectral.FlatCurve(40.0), name="emit")
+    b78 = b.add_curve(spectral.FlatCurve(0.78), name="b78")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    mw = b.add_lambertian(tw, name="mw")
+    ml = b.add_diffuse_light(emit, b78, SIDE_REVERSE, name="ml")
+    s = 0.5
+    b.add_rect([s, s, 0.0], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([s, s, 2 * s], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([2 * s, s, s], [0, s, 0], [0, 0, s], mw)
+    b.add_rect([s, 2 * s, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, 0.0, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, s, 2 * s - 1e-3], [0.2, 0, 0], [0, 0.2, 0], ml)
+    b.set_environment_constant(zero, 0.0)
+    b.env_sampling_probability = 0.0
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[-1.2, 0.5, 0.5], look_at=[0.5, 0.5, 0.5], vfov_degrees=45.0,
+        focal_distance=1.7, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    return world, cam
+
+
+def test_lt_matches_pt_mean(box_scene):
+    world, cam = box_scene
+    res = 16
+    pt_film, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=200, key=jax.random.PRNGKey(5), sample_chunk=50,
+    )
+    lt_film, profile, _ = render_splatted(
+        world, cam, LTSettings(max_bounces=4, min_bounces=4, camera_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=600, key=jax.random.PRNGKey(6),
+    )
+    pt_y = float(np.asarray(pt_film[..., 1]).mean())
+    lt_y = float(np.asarray(lt_film[..., 1]).mean())
+    assert profile.light_rays > 0
+    assert lt_y > 0
+    # unbiased estimators of the same image -> means agree within MC noise
+    assert abs(lt_y - pt_y) / pt_y < 0.15, (pt_y, lt_y)
+
+
+def test_lt_film_structure(box_scene):
+    """The LT image must localise light: the directly lit floor region under
+    the light should be brighter than the wall-average."""
+    world, cam = box_scene
+    res = 24
+    lt_film, _, _ = render_splatted(
+        world, cam, LTSettings(max_bounces=3, camera_samples=1),
+        res, res, min_samples=300, key=jax.random.PRNGKey(9),
+    )
+    y = np.asarray(lt_film[..., 1])
+    assert np.all(np.isfinite(y))
+    # light is at the top of the box -> upper image rows contain the bright
+    # emitter region seen by the camera
+    assert y.max() > 2.0 * max(y.mean(), 1e-9)
