@@ -1,0 +1,455 @@
+"""Bidirectional path tracing (vertex connection) with Veach MIS.
+
+Capability parity with the reference's BDPTIntegrator
+(src/integrator/bdpt/{mod,utils}.rs — compiled out upstream but named a
+target config by BASELINE): build a light subpath and an eye subpath, form
+every (s,t) connection including s=0 (eye path hits a light) and t=1
+(light path splats through the lens), and weight each strategy with the
+balance heuristic computed by walking relative pdf ratios along the
+combined path (Veach eq. 10.9; reference eval_mis, bdpt/utils.rs:424-520).
+
+TPU design: subpaths are fixed-shape vertex SoA arrays [N, D] built by an
+unrolled masked walk (the reference's Vec<Vertex> becomes static arrays —
+SURVEY §7 "BDPT pdf bookkeeping in fixed-shape arrays"); each (s,t) pair is
+one batched connection pass (shadow-ray wavefront + scatter-add splats for
+t=1). Vertex pdfs are stored in area measure, forward and reverse, exactly
+like the reference's pdf_forward/pdf_backward (utils.rs:39-55).
+
+Round-1 gaps (also unsupported or vestigial upstream): t=0 (light path
+hitting the lens surface), medium vertices, environment connections.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import sampling, vecmath, cie
+from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
+from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
+from pathtracer_tpu.integrator.lt import _sample_emission_direction
+from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission, sample_emission_spectrum
+from pathtracer_tpu.materials.tables import emission_direction_pdf
+from pathtracer_tpu.prelude import (
+    INTERSECTION_TIME_OFFSET,
+    NORMAL_OFFSET,
+    RAY_TMAX,
+    TransportMode,
+    safe_div,
+)
+from pathtracer_tpu.world.world import World
+
+
+@dataclasses.dataclass(frozen=True)
+class BDPTSettings:
+    max_depth: int = 4  # vertices per subpath (≈ max_bounces)
+    russian_roulette: bool = False  # fixed-length subpaths keep pdfs simple
+    wavelength_bounds: Bounds1D = BOUNDED_VISIBLE_RANGE
+    selected_pair: Optional[Tuple[int, int]] = None  # debug single (s,t)
+
+
+class Subpath(NamedTuple):
+    """[N, D] vertex SoA (reference SurfaceVertex, utils.rs:39-55)."""
+
+    pos: jnp.ndarray  # [N,D,3]
+    ns: jnp.ndarray  # shading normal
+    gn: jnp.ndarray  # geometric normal
+    wi: jnp.ndarray  # unit dir from previous vertex to this one (world)
+    mat_id: jnp.ndarray  # [N,D]
+    is_light: jnp.ndarray  # bool
+    beta: jnp.ndarray  # throughput up to (and incl. scattering at prev)
+    pdf_fwd: jnp.ndarray  # area-measure pdf of generating this vertex
+    pdf_rev: jnp.ndarray  # area-measure pdf in the reverse direction
+    valid: jnp.ndarray  # bool
+
+
+def _to_area_pdf(pdf_sa, from_pos, to_pos, to_ns):
+    d = to_pos - from_pos
+    dist2 = jnp.maximum(vecmath.length_squared(d), 1e-12)
+    dir_ = d * jax.lax.rsqrt(dist2)[..., None]
+    return pdf_sa * safe_div(jnp.abs(vecmath.dot(to_ns, dir_)), dist2)
+
+
+def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert0=None):
+    """Unrolled masked random walk collecting vertices 1..depth-1 (vertex 0
+    is supplied by the caller; its pdf_rev gets backfilled). Returns lists
+    of per-depth dicts."""
+    n = o0.shape[0]
+    verts = []
+    o, d = o0, d0
+    beta = beta0
+    alive = beta0 > 0.0
+    pdf_sa = pdf_dir_sa0
+    prev_pos = o0
+    for i in range(depth - 1):
+        kb = sampling.fold(key, i)
+        u = jax.random.uniform(kb, (n, 3))
+        hr = intersect_dense(
+            world.prims, o, d,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            jnp.full((n,), RAY_TMAX, jnp.float32),
+        )
+        alive_here = alive & hr.hit
+        pdf_fwd = _to_area_pdf(pdf_sa, prev_pos, hr.point, hr.normal)
+        vert = dict(
+            pos=hr.point, ns=hr.normal, gn=hr.geo_normal, wi=d,
+            mat_id=jnp.maximum(hr.material_id, 0),
+            is_light=hr.mat_kind == 1,
+            beta=beta, pdf_fwd=pdf_fwd,
+            pdf_rev=jnp.zeros((n,)),
+            valid=alive_here,
+        )
+        # scatter
+        frame = vecmath.TangentFrame(*_frame(hr.normal))
+        wi_local = frame.to_local(-d)
+        wo_local, f, f_pdf, ratio = bsdf_sample(
+            world.mats, world.bank, world.tex,
+            jnp.maximum(hr.material_id, 0), lam, hr.uv,
+            wi_local, u[:, 0], u[:, 1], u[:, 2], mode,
+        )
+        # reverse pdf: bsdf at this vertex sampling back towards prev
+        _, rev_pdf_sa = bsdf_eval(
+            world.mats, world.bank, world.tex,
+            jnp.maximum(hr.material_id, 0), lam, hr.uv,
+            wo_local, wi_local, mode,
+        )
+        prev_vert = verts[-1] if verts else vert0
+        if prev_vert is not None:
+            prev_vert["pdf_rev"] = _to_area_pdf(
+                rev_pdf_sa, hr.point, prev_vert["pos"], prev_vert["ns"]
+            )
+        d_new = vecmath.normalize(frame.to_world(wo_local))
+        sample_ok = (f_pdf > 1e-12) & (ratio > 0.0)
+        beta = beta * jnp.where(sample_ok, ratio, 0.0)
+        alive = alive_here & sample_ok
+        o = hr.point + hr.geo_normal * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
+        )[..., None]
+        prev_pos = hr.point
+        d = d_new
+        pdf_sa = f_pdf
+        verts.append(vert)
+    return verts
+
+
+def _frame(normal):
+    t, b = vecmath.orthonormal_basis(normal)
+    return t, b, normal
+
+
+def _stack_subpath(vert0: dict, verts: list, n) -> Subpath:
+    all_v = [vert0] + verts
+
+    def stack(key_name, default=None):
+        return jnp.stack([v[key_name] for v in all_v], axis=1)
+
+    return Subpath(
+        pos=stack("pos"), ns=stack("ns"), gn=stack("gn"), wi=stack("wi"),
+        mat_id=stack("mat_id"), is_light=stack("is_light"), beta=stack("beta"),
+        pdf_fwd=stack("pdf_fwd"), pdf_rev=stack("pdf_rev"), valid=stack("valid"),
+    )
+
+
+def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n):
+    u0 = jax.random.uniform(sampling.fold(key, 100), (n, 6))
+    light_prim, pick_pdf = world.pick_random_light(u0[:, 0])
+    lp, ln, area_pdf = sample_surface(world.prims, light_prim, u0[:, 1], u0[:, 2])
+    mat_id = world.prims.material_id[light_prim]
+    d0, dir_pdf_sa, cos0 = _sample_emission_direction(world, mat_id, ln, u0[:, 3], u0[:, 4], u0[:, 5])
+    le = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), vecmath.dot(ln, d0))
+    pdf_pos = pick_pdf * area_pdf
+    beta0 = safe_div(1.0, pdf_pos * lam_pdf)
+    beta0 = jnp.where((world.n_lights > 0) & jnp.isfinite(beta0), beta0, 0.0)
+    vert0 = dict(
+        pos=lp, ns=ln, gn=ln, wi=jnp.zeros((n, 3)), mat_id=mat_id,
+        is_light=jnp.ones((n,), bool), beta=beta0, pdf_fwd=pdf_pos,
+        pdf_rev=jnp.zeros((n,)), valid=beta0 > 0.0,
+    )
+    beta1 = beta0 * safe_div(le * cos0, dir_pdf_sa)
+    o0 = lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None]
+    verts = _walk_subpath(
+        world, o0, d0, beta1, lam, TransportMode.Importance,
+        sampling.fold(key, 200), settings.max_depth, dir_pdf_sa, vert0=vert0,
+    )
+    return _stack_subpath(vert0, verts, n), light_prim
+
+
+def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
+    n = film_uv.shape[0]
+    ul = jax.random.uniform(sampling.fold(key, 300), (n, 2))
+    o0, d0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
+    cos_cam = jnp.abs(vecmath.dot(d0, camera.w))
+    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+    pdf_dir_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+    vert0 = dict(
+        pos=o0, ns=jnp.broadcast_to(camera.w, o0.shape),
+        gn=jnp.broadcast_to(camera.w, o0.shape), wi=jnp.zeros((n, 3)),
+        mat_id=jnp.zeros((n,), jnp.int32), is_light=jnp.zeros((n,), bool),
+        beta=jnp.ones((n,)), pdf_fwd=jnp.ones((n,)),
+        pdf_rev=jnp.zeros((n,)), valid=jnp.ones((n,), bool),
+    )
+    verts = _walk_subpath(
+        world, o0, d0, jnp.ones((n,)), lam, TransportMode.Radiance,
+        sampling.fold(key, 400), settings.max_depth, pdf_dir_sa, vert0=vert0,
+    )
+    return _stack_subpath(vert0, verts, n)
+
+
+def _remap0(x):
+    """PBRT's remap: treat zero/delta pdfs as 1 in MIS ratio products."""
+    return jnp.where(x > 1e-18, x, 1.0)
+
+
+def _gather(sp: Subpath, idx: int):
+    return jax.tree_util.tree_map(lambda a: a[:, idx], sp)
+
+
+def _mis_weight(world, lam, y: Subpath, z: Subpath, s: int, t: int,
+                pdf_rev_y_end, pdf_rev_y_prev, pdf_rev_z_end, pdf_rev_z_prev):
+    """Balance-heuristic weight for strategy (s,t) over all strategies of the
+    same path length (Veach 10.9 via pdf-ratio walk; reference eval_mis,
+    bdpt/utils.rs:424-520). The *_end/_prev args are the recomputed reverse
+    area pdfs at the junction (pdf of the connection generating those
+    vertices)."""
+    sum_ri = 0.0
+    # eye side: ratio walk z_{t-1} .. z_1 (z_0 = camera, delta position)
+    ri = 1.0
+    for i in range(t - 1, 0, -1):
+        rev = pdf_rev_z_end if i == t - 1 else (pdf_rev_z_prev if i == t - 2 else z.pdf_rev[:, i])
+        ri = ri * safe_div(_remap0(rev), _remap0(z.pdf_fwd[:, i]))
+        sum_ri = sum_ri + jnp.where(z.valid[:, i], ri, 0.0)
+    # light side: ratio walk y_{s-1} .. y_0
+    ri = 1.0
+    for i in range(s - 1, -1, -1):
+        rev = pdf_rev_y_end if i == s - 1 else (pdf_rev_y_prev if i == s - 2 else y.pdf_rev[:, i])
+        ri = ri * safe_div(_remap0(rev), _remap0(y.pdf_fwd[:, i]))
+        sum_ri = sum_ri + jnp.where(y.valid[:, i], ri, 0.0)
+    return 1.0 / (1.0 + sum_ri)
+
+
+def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
+    """One BDPT sample per film point. Returns (own_pixel_energy f32[N],
+    splat_uv f32[M,2], splat_energy f32[M], lam f32[N]) where splats are the
+    t=1 strategies (M = N·(max_depth-1))."""
+    n = film_uv.shape[0]
+    wb = settings.wavelength_bounds
+    k_lam, k_light, k_eye, k_con = jax.random.split(key, 4)
+    lam = wb.sample(jax.random.uniform(k_lam, (n,)))
+    # λ is drawn once per sample (uniform); the 1/pdf = span factor is
+    # applied exactly once by the renderer, so subpath betas carry none
+    lam_pdf = jnp.ones((n,))
+
+    y, light_prim0 = generate_light_subpath(world, settings, lam, lam_pdf, k_light, n)
+    z = generate_eye_subpath(world, camera, settings, film_uv, lam, k_eye)
+
+    D = settings.max_depth
+    own = jnp.zeros((n,))
+    splat_uv = []
+    splat_e = []
+
+    def pair_enabled(s, t):
+        if settings.selected_pair is None:
+            return True
+        return settings.selected_pair == (s, t)
+
+    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+
+    # ---------- s = 0: eye path hits a light (bdpt/utils.rs:18-116 s=0 case)
+    for t in range(2, D + 1):
+        if not pair_enabled(0, t):
+            continue
+        zv = _gather(z, t - 1)
+        cos_l = vecmath.dot(zv.gn, -zv.wi)
+        le = emission(world.mats, world.bank, zv.mat_id, lam, jnp.zeros((n, 2)), cos_l)
+        ok = zv.valid & zv.is_light & (le > 0.0)
+        # reverse pdfs at the junction: light position + emission direction
+        pdf_rev_z_end = jnp.where(ok, _light_pos_pdf(world, zv), 0.0)
+        pdf_rev_z_prev = jnp.where(
+            ok,
+            _to_area_pdf(
+                emission_direction_pdf(world.mats, zv.mat_id, cos_l),
+                zv.pos, z.pos[:, t - 2], z.ns[:, t - 2],
+            ),
+            0.0,
+        ) if t >= 2 else 0.0
+        w = _mis_weight(world, lam, y, z, 0, t, 0.0, 0.0, pdf_rev_z_end, pdf_rev_z_prev)
+        own = own + jnp.where(ok, zv.beta * le * w, 0.0)
+
+    # ---------- s >= 1, t >= 2: vertex connections
+    for s in range(1, D + 1):
+        for t in range(2, D + 1):
+            if not pair_enabled(s, t):
+                continue
+            yv = _gather(y, s - 1)
+            zv = _gather(z, t - 1)
+            con = zv.pos - yv.pos
+            dist2 = jnp.maximum(vecmath.length_squared(con), 1e-12)
+            dist = jnp.sqrt(dist2)
+            dir_yz = con / dist[..., None]
+            cos_y = vecmath.dot(yv.ns, dir_yz)
+            cos_z = vecmath.dot(zv.ns, -dir_yz)
+            geo = safe_div(jnp.abs(cos_y) * jnp.abs(cos_z), dist2)
+
+            if s == 1:
+                # light vertex end: directional emission toward z
+                le = emission(world.mats, world.bank, yv.mat_id, lam,
+                              jnp.zeros((n, 2)), vecmath.dot(yv.gn, dir_yz))
+                fy = le
+                fy_rev_pdf_sa = emission_direction_pdf(
+                    world.mats, yv.mat_id, vecmath.dot(yv.gn, dir_yz)
+                )
+            else:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                fy, fy_pdf = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+                    frame_y.to_local(dir_yz), TransportMode.Importance,
+                )
+                fy_rev_pdf_sa = fy_pdf
+            frame_z = vecmath.TangentFrame(*_frame(zv.ns))
+            fz, fz_pdf = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(-dir_yz), TransportMode.Radiance,
+            )
+            contrib = yv.beta * fy * geo * fz * zv.beta
+            worth = yv.valid & zv.valid & (contrib > 0.0) & jnp.isfinite(contrib)
+            so = yv.pos + yv.gn * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_yz) + 1e-9)
+            )[..., None]
+            blocked = intersect_any_dense(
+                world.prims, so, dir_yz,
+                jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+                dist * 0.99,
+            )
+            # junction reverse pdfs (area measure)
+            # z_{t-1} generated from y_{s-1}:
+            if s == 1:
+                pdf_z_end_sa = emission_direction_pdf(
+                    world.mats, yv.mat_id, vecmath.dot(yv.gn, dir_yz)
+                )
+            else:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                _, pdf_z_end_sa = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+                    frame_y.to_local(dir_yz), TransportMode.Importance,
+                )
+            pdf_rev_z_end = _to_area_pdf(pdf_z_end_sa, yv.pos, zv.pos, zv.ns)
+            # z_{t-2} generated from z_{t-1} (incoming now from y):
+            _, pdf_z_prev_sa = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-dir_yz),
+                frame_z.to_local(-zv.wi), TransportMode.Radiance,
+            )
+            pdf_rev_z_prev = _to_area_pdf(pdf_z_prev_sa, zv.pos, z.pos[:, t - 2], z.ns[:, t - 2])
+            # y_{s-1} generated from z_{t-1}:
+            _, pdf_y_end_sa = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(-dir_yz), TransportMode.Radiance,
+            )
+            pdf_rev_y_end = _to_area_pdf(pdf_y_end_sa, zv.pos, yv.pos, yv.ns)
+            # y_{s-2} generated from y_{s-1} (incoming from z):
+            if s >= 2:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                _, pdf_y_prev_sa = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(dir_yz),
+                    frame_y.to_local(-yv.wi), TransportMode.Importance,
+                )
+                pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
+            else:
+                pdf_rev_y_prev = 0.0
+            w = _mis_weight(world, lam, y, z, s, t,
+                            pdf_rev_y_end, pdf_rev_y_prev,
+                            pdf_rev_z_end, pdf_rev_z_prev)
+            own = own + jnp.where(worth & ~blocked, contrib * w, 0.0)
+
+    # ---------- t = 1: splat through the lens (lt.rs-style connection)
+    for s in range(2, D + 1):
+        if not pair_enabled(s, 1):
+            continue
+        yv = _gather(y, s - 1)
+        to_cam = camera.origin - yv.pos
+        dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_c = to_cam / dist[..., None]
+        fu, fv, on_film = camera.get_pixel_for_ray(camera.origin * jnp.ones_like(yv.pos), -dir_c)
+        cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+        we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+        fy, fy_pdf = bsdf_eval(
+            world.mats, world.bank, world.tex, yv.mat_id, lam,
+            jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+            frame_y.to_local(dir_c), TransportMode.Importance,
+        )
+        geo = safe_div(jnp.abs(vecmath.dot(yv.ns, dir_c)) * cos_cam, dist2)
+        contrib = yv.beta * fy * geo * we
+        so = yv.pos + yv.gn * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
+        )[..., None]
+        blocked = intersect_any_dense(
+            world.prims, so, dir_c,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            dist * 0.99,
+        )
+        # junction pdfs: y_{s-1} from camera; y_{s-2} from y_{s-1}
+        cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, camera.origin * jnp.ones_like(yv.pos), yv.pos, yv.ns)
+        _, pdf_y_prev_sa = bsdf_eval(
+            world.mats, world.bank, world.tex, yv.mat_id, lam,
+            jnp.zeros((n, 2)), frame_y.to_local(dir_c),
+            frame_y.to_local(-yv.wi), TransportMode.Importance,
+        )
+        pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
+        w = _mis_weight(world, lam, y, z, s, 1, pdf_rev_y_end, pdf_rev_y_prev, 0.0, 0.0)
+        ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
+        splat_uv.append(jnp.stack([fu, fv], axis=-1))
+        splat_e.append(jnp.where(ok, contrib * w, 0.0))
+
+    # ---------- s = 1, t = 1: light vertex direct to lens
+    if pair_enabled(1, 1):
+        yv = _gather(y, 0)
+        to_cam = camera.origin - yv.pos
+        dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_c = to_cam / dist[..., None]
+        fu, fv, on_film = camera.get_pixel_for_ray(camera.origin * jnp.ones_like(yv.pos), -dir_c)
+        cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+        we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        le = emission(world.mats, world.bank, yv.mat_id, lam, jnp.zeros((n, 2)),
+                      vecmath.dot(yv.gn, dir_c))
+        geo = safe_div(jnp.abs(vecmath.dot(yv.ns, dir_c)) * cos_cam, dist2)
+        contrib = yv.beta * le * geo * we
+        so = yv.pos + yv.gn * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
+        )[..., None]
+        blocked = intersect_any_dense(
+            world.prims, so, dir_c,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            dist * 0.99,
+        )
+        cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, camera.origin * jnp.ones_like(yv.pos), yv.pos, yv.ns)
+        w = _mis_weight(world, lam, y, z, 1, 1, pdf_rev_y_end, 0.0, 0.0, 0.0)
+        ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
+        splat_uv.append(jnp.stack([fu, fv], axis=-1))
+        splat_e.append(jnp.where(ok, contrib * w, 0.0))
+
+    splat_uv = jnp.concatenate(splat_uv, axis=0) if splat_uv else jnp.zeros((0, 2))
+    splat_e = jnp.concatenate(splat_e, axis=0) if splat_e else jnp.zeros((0,))
+    lam_splat = jnp.tile(lam, (splat_e.shape[0] // max(n, 1),)) if splat_e.shape[0] else lam[:0]
+    return own, splat_uv, splat_e, lam, lam_splat
+
+
+def _light_pos_pdf(world: World, zv):
+    """Area pdf of NEE-style generation of the light vertex the eye path
+    hit: uniform pick × that primitive's area. The hit prim id is not stored
+    per-vertex; use the light list average area as the estimate (exact for
+    single-light scenes, the shipped BDPT configs)."""
+    mean_area = jnp.mean(world.prims.area[world.lights])
+    return safe_div(1.0, world.n_lights.astype(jnp.float32) * mean_area)

@@ -1,0 +1,56 @@
+"""BDPT render loop: own-pixel contributions + lens splats combined into one
+film (the reference's commented BDPT plumbing in src/renderer/naive.rs:548-618)."""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from pathtracer_tpu.core import sampling, cie
+from pathtracer_tpu.integrator.bdpt import BDPTSettings, bdpt_trace
+from pathtracer_tpu.utils.profile import Profile
+
+
+@partial(jax.jit, static_argnames=("settings", "width", "height"))
+def _bdpt_chunk(world, camera, key, settings: BDPTSettings, width: int, height: int):
+    n = width * height
+    ids = jnp.arange(n, dtype=jnp.int32)
+    xy = jnp.stack([(ids % width).astype(jnp.float32), (ids // width).astype(jnp.float32)], axis=-1)
+    jitter = jax.random.uniform(sampling.fold(key, 11), (n, 2))
+    film_uv = (xy + jitter) / jnp.array([width, height], jnp.float32)
+    own, splat_uv, splat_e, lam, lam_splat = bdpt_trace(world, camera, settings, film_uv, sampling.fold(key, 13))
+    span = settings.wavelength_bounds.span
+    film = cie.wavelength_to_xyz(lam, own) * span
+    # splats: scatter-add into the film (×W·H handled by caller's normalise)
+    px = jnp.clip((splat_uv[:, 0] * width).astype(jnp.int32), 0, width - 1)
+    py = jnp.clip((splat_uv[:, 1] * height).astype(jnp.int32), 0, height - 1)
+    pid = py * width + px
+    splat_xyz = cie.wavelength_to_xyz(lam_splat, splat_e) * span
+    splat_film = jnp.zeros((n, 3)).at[pid].add(splat_xyz)
+    return film, splat_film
+
+
+def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
+                min_samples: int, key=None, progress=None):
+    """Returns (film [H,W,3], Profile, elapsed)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = width * height
+    film = jnp.zeros((n, 3))
+    splats = jnp.zeros((n, 3))
+    t0 = time.perf_counter()
+    for c in range(min_samples):
+        f, sp = _bdpt_chunk(world, camera, sampling.fold(key, 5000 + c), settings, width, height)
+        film = film + f
+        splats = splats + sp
+        if progress is not None:
+            progress(c + 1, min_samples)
+    # own-pixel terms average per sample; splats are film-wide measurements:
+    # ×(W·H) per-pixel factor, averaged over the N·spp light subpaths
+    out = film / min_samples + splats * (float(n) / (n * min_samples))
+    out.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    return jnp.reshape(out, (height, width, 3)), Profile(), elapsed

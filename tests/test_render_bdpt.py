@@ -1,0 +1,85 @@
+"""BDPT vs PT consistency: BDPT's MIS-weighted strategies must sum to an
+unbiased estimate of the same image (reference BDPT capability,
+src/integrator/bdpt/)."""
+
+import numpy as np
+import jax
+import pytest
+
+from pathtracer_tpu.camera import make_projective_camera
+from pathtracer_tpu.core import spectral
+from pathtracer_tpu.integrator.pt import PTSettings
+from pathtracer_tpu.integrator.bdpt import BDPTSettings
+from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
+from pathtracer_tpu.parsing import SceneBuilder
+from pathtracer_tpu.renderer import render_sampled
+from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
+
+
+@pytest.fixture(scope="module")
+def box_scene():
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.7), name="white")
+    emit = b.add_curve(spectral.FlatCurve(40.0), name="emit")
+    b78 = b.add_curve(spectral.FlatCurve(0.78), name="b78")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    mw = b.add_lambertian(tw, name="mw")
+    ml = b.add_diffuse_light(emit, b78, SIDE_REVERSE, name="ml")
+    s = 0.5
+    b.add_rect([s, s, 0.0], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([s, s, 2 * s], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([2 * s, s, s], [0, s, 0], [0, 0, s], mw)
+    b.add_rect([s, 2 * s, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, 0.0, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, s, 2 * s - 1e-3], [0.2, 0, 0], [0, 0.2, 0], ml)
+    b.set_environment_constant(zero, 0.0)
+    b.env_sampling_probability = 0.0
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[-1.2, 0.5, 0.5], look_at=[0.5, 0.5, 0.5], vfov_degrees=45.0,
+        focal_distance=1.7, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    return world, cam
+
+
+def test_bdpt_matches_pt_mean(box_scene):
+    world, cam = box_scene
+    res = 12
+    # paths of length <= 3 segments on both sides
+    pt_film, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=3, min_bounces=3, light_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=300, key=jax.random.PRNGKey(5), sample_chunk=75,
+    )
+    bd_film, _, _ = render_bdpt(
+        world, cam, BDPTSettings(max_depth=3),
+        res, res, min_samples=60, key=jax.random.PRNGKey(6),
+    )
+    pt_y = float(np.asarray(pt_film[..., 1]).mean())
+    bd_y = float(np.asarray(bd_film[..., 1]).mean())
+    assert np.all(np.isfinite(np.asarray(bd_film)))
+    assert bd_y > 0
+    assert abs(bd_y - pt_y) / pt_y < 0.2, (pt_y, bd_y)
+
+
+def test_bdpt_selected_pair_decomposition(box_scene):
+    """Σ_(s,t) single-pair renders ≈ the full BDPT render (the reference's
+    selected_pair debug config, src/parsing/config.rs:25-27)."""
+    world, cam = box_scene
+    res = 8
+    full, _, _ = render_bdpt(
+        world, cam, BDPTSettings(max_depth=2), res, res, min_samples=80,
+        key=jax.random.PRNGKey(7),
+    )
+    parts = []
+    for pair in [(0, 2), (1, 2), (2, 2), (1, 1), (2, 1)]:
+        f, _, _ = render_bdpt(
+            world, cam, BDPTSettings(max_depth=2, selected_pair=pair),
+            res, res, min_samples=80, key=jax.random.PRNGKey(7),
+        )
+        parts.append(np.asarray(f))
+    total = np.stack(parts).sum(0)
+    full = np.asarray(full)
+    assert np.allclose(total[..., 1].mean(), full[..., 1].mean(), rtol=1e-3)
