@@ -33,7 +33,7 @@ class PanoramaCamera(NamedTuple):
             + jnp.sin(theta)[..., None] * self.v
         )
         o = jnp.broadcast_to(self.origin, d.shape)
-        return o, vecmath.normalize(d)
+        return o, vecmath.normalize(d), jnp.ones(film_u.shape, jnp.float32)
 
     def get_pixel_for_ray(self, o, d):
         phi = jnp.arctan2(vecmath.dot(d, self.u), vecmath.dot(d, self.w))

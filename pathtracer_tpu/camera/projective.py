@@ -31,8 +31,9 @@ class ProjectiveCamera(NamedTuple):
     lens_radius: jnp.ndarray  # f32 (aperture_diameter / 2)
 
     def get_ray(self, film_u, film_v, lens_u1, lens_u2):
-        """Film (u,v) in [0,1)² (v=0 = top row) + lens samples -> (o, d).
-        Equivalent of Camera::get_ray (src/camera/mod.rs:19-48)."""
+        """Film (u,v) in [0,1)² (v=0 = top row) + lens samples -> (o, d, tau).
+        Equivalent of Camera::get_ray (src/camera/mod.rs:19-48); tau is the
+        ray weight (1 for thin lens; realistic cameras use 0 = vignetted)."""
         lens_xy = sampling.random_in_unit_disk(lens_u1, lens_u2) * self.lens_radius
         o = (
             self.origin
@@ -46,7 +47,7 @@ class ProjectiveCamera(NamedTuple):
             + ((1.0 - film_v * 2.0) * self.half_height)[..., None] * self.v
         )
         d = vecmath.normalize(focal_pt - o)
-        return o, d
+        return o, d, jnp.ones(film_u.shape, jnp.float32)
 
     def get_pixel_for_ray(self, o, d):
         """Inverse of get_ray for splatting: ray (from a lens point, into the

@@ -180,7 +180,7 @@ def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n):
 def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
     n = film_uv.shape[0]
     ul = jax.random.uniform(sampling.fold(key, 300), (n, 2))
-    o0, d0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
+    o0, d0, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
     cos_cam = jnp.abs(vecmath.dot(d0, camera.w))
     a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
     pdf_dir_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
@@ -192,7 +192,7 @@ def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
         pdf_rev=jnp.zeros((n,)), valid=jnp.ones((n,), bool),
     )
     verts = _walk_subpath(
-        world, o0, d0, jnp.ones((n,)), lam, TransportMode.Radiance,
+        world, o0, d0, tau, lam, TransportMode.Radiance,
         sampling.fold(key, 400), settings.max_depth, pdf_dir_sa, vert0=vert0,
     )
     return _stack_subpath(vert0, verts, n)

@@ -332,8 +332,9 @@ def trace_camera_sample(world, camera, settings: PTSettings, film_uv, key):
     wb = settings.wavelength_bounds
     lam = wb.sample(jax.random.uniform(k_lam, (n,)))
     ul = jax.random.uniform(k_lens, (n, 2))
-    o, d = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
+    o, d, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
     energy, counters = pt_trace(world, settings, o, d, lam, k_walk)
-    # MC estimator of ∫ L(λ) x̄(λ) dλ with uniform λ-pdf 1/span
-    xyz = cie.wavelength_to_xyz(lam, energy) * wb.span
+    # MC estimator of ∫ L(λ) x̄(λ) dλ with uniform λ-pdf 1/span; tau carries
+    # camera-ray weight (0 = vignetted by a lens assembly)
+    xyz = cie.wavelength_to_xyz(lam, energy * tau) * wb.span
     return xyz, counters

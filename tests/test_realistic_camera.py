@@ -1,0 +1,82 @@
+"""Realistic (lens assembly) camera tests
+(reference: src/camera/realistic_camera.rs:250-355 trace smoke tests)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.camera.lens import (
+    parse_lenses_from, build_lens_stack, trace_from_film, abbe_to_cauchy,
+)
+from pathtracer_tpu.camera.realistic import make_realistic_camera
+
+SPEC = "/root/reference/data/cameras/petzval_kodak.txt"
+
+
+def test_parse_petzval():
+    els = parse_lenses_from(SPEC)
+    assert len(els) == 8
+    assert sum(e.is_stop for e in els) == 1
+    assert els[0].radius == pytest.approx(70.97)
+    assert els[0].ior_d == pytest.approx(1.523)
+
+
+def test_abbe_to_cauchy_matches_lines():
+    a, b = abbe_to_cauchy(1.523, 58.6)
+    n = lambda lam: a + b / lam**2
+    assert n(587.6) == pytest.approx(1.523, abs=1e-6)
+    assert (n(486.1) - n(656.3)) == pytest.approx((1.523 - 1) / 58.6, rel=1e-6)
+
+
+def test_trace_axial_ray():
+    stack = build_lens_stack(parse_lenses_from(SPEC))
+    o = jnp.array([[0.0, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    o2, d2, ok = trace_from_film(stack, o, d, jnp.array([550.0]))
+    assert bool(ok[0])
+    assert np.allclose(np.asarray(d2[0]), [0, 0, 1], atol=1e-5)
+
+
+def test_trace_imaging_behaviour():
+    """An off-axis film point maps to a converging exit direction (finite
+    focal length) and the assembly vignettes extreme rays."""
+    stack = build_lens_stack(parse_lenses_from(SPEC))
+    o = jnp.array([[0.001, 0.0, 0.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    o2, d2, ok = trace_from_film(stack, o, d, jnp.array([550.0]))
+    assert bool(ok[0])
+    assert float(d2[0, 0]) < -1e-3  # bends back toward the axis
+    # grossly oblique ray must be rejected by a housing
+    d_bad = jnp.array([[0.9, 0.0, 0.43589]])
+    _, _, ok_bad = trace_from_film(stack, o, d_bad, jnp.array([550.0]))
+    assert not bool(ok_bad[0])
+
+
+def test_chromatic_aberration_present():
+    stack = build_lens_stack(parse_lenses_from(SPEC))
+    o = jnp.tile(jnp.array([[0.005, 0.0, 0.0]]), (2, 1))
+    d = jnp.tile(jnp.array([[0.03, 0.0, 0.99955]]), (2, 1))
+    _, d2, ok = trace_from_film(stack, o, d, jnp.array([450.0, 650.0]))
+    assert bool(ok[0]) and bool(ok[1])
+    assert abs(float(d2[0, 0]) - float(d2[1, 0])) > 1e-6
+
+
+def test_make_realistic_camera_rays():
+    cam = make_realistic_camera(
+        dict(lens_spec=SPEC, fstop=2.8, sensor_size=35.0,
+             look_from=[0, 0, 1], look_at=[1, 0, 1]),
+        aspect_ratio=1.0,
+    )
+    n = 256
+    rng = np.random.default_rng(0)
+    fu = jnp.asarray(rng.uniform(0.3, 0.7, n), jnp.float32)
+    fv = jnp.asarray(rng.uniform(0.3, 0.7, n), jnp.float32)
+    u1 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    o, d, tau = cam.get_ray(fu, fv, u1, u2)
+    tau = np.asarray(tau)
+    assert tau.mean() > 0.3, "most central rays should make it through"
+    d = np.asarray(d)[tau > 0]
+    assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+    # rays point roughly along +x (the look direction)
+    assert (d[:, 0] > 0.5).all()
