@@ -147,10 +147,12 @@ def _t_disk(pa, pb, pc, o, d, t_min, t_max):
 
 
 def _chunk_ts(prims: Primitives, idx, o, d, t_min, t_max):
-    """t for rays [N] vs prim chunk idx [C] -> [N, C]. Handles per-prim
+    """t for rays [N] vs prim indices -> [N, C]. idx is either a shared
+    chunk [C] or per-ray leaf indices [N, C] (BVH leaves). Handles per-prim
     transforms by moving rays into local space (t is preserved because
     direction is transformed without renormalisation,
     like src/geometry/instance.rs:89-133)."""
+    per_ray = idx.ndim == 2
     pa, pb, pc = prims.pa[idx], prims.pb[idx], prims.pc[idx]
     ptype = prims.ptype[idx]
     if prims.xf_inv.shape[0] == 1:
@@ -160,23 +162,31 @@ def _chunk_ts(prims: Primitives, idx, o, d, t_min, t_max):
         d_l = d[:, None, :]
     else:
         tid = prims.transform_id[idx]
-        m_inv = prims.xf_inv[tid]  # [C,4,4]
-        # local rays: [N,C,3]
-        o_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], o) + m_inv[None, :, :3, 3]
-        d_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], d)
-    pa_b, pb_b, pc_b = pa[None], pb[None], pc[None]
+        m_inv = prims.xf_inv[tid]  # [C,4,4] or [N,C,4,4]
+        if per_ray:
+            o_l = jnp.einsum("ncij,nj->nci", m_inv[..., :3, :3], o) + m_inv[..., :3, 3]
+            d_l = jnp.einsum("ncij,nj->nci", m_inv[..., :3, :3], d)
+        else:
+            o_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], o) + m_inv[None, :, :3, 3]
+            d_l = jnp.einsum("cij,nj->nci", m_inv[:, :3, :3], d)
+    if per_ray:
+        pa_b, pb_b, pc_b = pa, pb, pc
+    else:
+        pa_b, pb_b, pc_b = pa[None], pb[None], pc[None]
     tmin_b = t_min[:, None]
     tmax_b = t_max[:, None]
     t_tri = _t_triangle(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
     t_sph = _t_sphere(pa_b, pb_b, o_l, d_l, tmin_b, tmax_b)
     t_rec = _t_rect(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
     t_dsk = _t_disk(pa_b, pb_b, pc_b, o_l, d_l, tmin_b, tmax_b)
+    pt_b = ptype if per_ray else ptype[None]
     t = jnp.select(
-        [ptype[None] == PRIM_TRIANGLE, ptype[None] == PRIM_SPHERE, ptype[None] == PRIM_RECT],
+        [pt_b == PRIM_TRIANGLE, pt_b == PRIM_SPHERE, pt_b == PRIM_RECT],
         [t_tri, t_sph, t_rec],
         t_dsk,
     )
-    return jnp.where(prims.valid[idx][None], t, jnp.inf)
+    vmask = prims.valid[idx] if per_ray else prims.valid[idx][None]
+    return jnp.where(vmask, t, jnp.inf)
 
 
 def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> HitRecord:

@@ -87,8 +87,8 @@ def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert
     for i in range(depth - 1):
         kb = sampling.fold(key, i)
         u = jax.random.uniform(kb, (n, 3))
-        hr = intersect_dense(
-            world.prims, o, d,
+        hr = world.intersect(
+            o, d,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
@@ -320,8 +320,8 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             so = yv.pos + yv.gn * (
                 NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_yz) + 1e-9)
             )[..., None]
-            blocked = intersect_any_dense(
-                world.prims, so, dir_yz,
+            blocked = world.intersect_any(
+                so, dir_yz,
                 jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
                 dist * 0.99,
             )
@@ -392,8 +392,8 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         so = yv.pos + yv.gn * (
             NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
         )[..., None]
-        blocked = intersect_any_dense(
-            world.prims, so, dir_c,
+        blocked = world.intersect_any(
+            so, dir_c,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             dist * 0.99,
         )
@@ -428,8 +428,8 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         so = yv.pos + yv.gn * (
             NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
         )[..., None]
-        blocked = intersect_any_dense(
-            world.prims, so, dir_c,
+        blocked = world.intersect_any(
+            so, dir_c,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             dist * 0.99,
         )

@@ -113,8 +113,8 @@ def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens
         so = point + normal_or_none * (
             NORMAL_OFFSET * jnp.sign(vecmath.dot(normal_or_none, dir_c) + 1e-9)
         )[..., None]
-    blocked = intersect_any_dense(
-        world.prims, so, dir_c,
+    blocked = world.intersect_any(
+        so, dir_c,
         jnp.full(point.shape[:1], INTERSECTION_TIME_OFFSET, jnp.float32),
         dist * 0.99,
     )
@@ -184,8 +184,8 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         bounce, o, d, beta, alive, film, counters = state
         kb = sampling.fold(k_walk, bounce)
         u = jax.random.uniform(kb, (n, 4 + 2 * settings.camera_samples))
-        hr = intersect_dense(
-            world.prims, o, d,
+        hr = world.intersect(
+            o, d,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )

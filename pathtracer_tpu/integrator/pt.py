@@ -86,8 +86,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         (bounce, o, d, beta, radiance, alive, prev_pdf, cur_med, counters) = state
         kb = sampling.fold(key, bounce)
         u = jax.random.uniform(kb, (n, 7 + 3 * max(settings.light_samples, 1)))
-        hr = intersect_dense(
-            world.prims, o, d,
+        hr = world.intersect(
+            o, d,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
@@ -211,8 +211,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 so = point + offset_n * (
                     NORMAL_OFFSET * jnp.sign(vecmath.dot(offset_n, nee_dir) + 1e-9)
                 )[..., None]
-                blocked = intersect_any_dense(
-                    world.prims, so, nee_dir,
+                blocked = world.intersect_any(
+                    so, nee_dir,
                     jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
                     nee_tmax,
                 )

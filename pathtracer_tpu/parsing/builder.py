@@ -488,6 +488,15 @@ class SceneBuilder:
         center = (lo + hi) / 2.0
         radius = float(np.linalg.norm(hi - center))
 
+        # stackless SAH BVH over ALL primitives (world BVH; per-mesh BLASes
+        # are flattened into it — single-level is the TPU-friendly layout)
+        from pathtracer_tpu.accel import build_bvh_arrays
+
+        bvh = build_bvh_arrays(
+            np.stack([x.aabb_lo for x in self.prims]),
+            np.stack([x.aabb_hi for x in self.prims]),
+        )
+
         return World(
             prims=prims,
             mats=mats,
@@ -500,4 +509,5 @@ class SceneBuilder:
             env_sampling_probability=jnp.float32(self.env_sampling_probability),
             center=jnp.asarray(center, jnp.float32),
             radius=jnp.float32(max(radius, 1.0)),
+            bvh=bvh,
         )

@@ -11,12 +11,18 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from pathtracer_tpu.accel.flatten import BVH
+from pathtracer_tpu.accel.traverse import intersect_any_bvh, intersect_bvh
 from pathtracer_tpu.core.spectral import CurveBank
-from pathtracer_tpu.geometry import Primitives
+from pathtracer_tpu.geometry import Primitives, intersect_any_dense, intersect_dense
 from pathtracer_tpu.materials import Materials
 from pathtracer_tpu.mediums.tables import Mediums
 from pathtracer_tpu.textures import Textures
 from pathtracer_tpu.world.environment import Environment
+
+# below this primitive count the dense rays×prims sweep beats divergent
+# traversal on TPU (VPU-saturating, no gathers); above it, the stackless BVH
+DENSE_MAX_PRIMS = 256
 
 
 class World(NamedTuple):
@@ -31,6 +37,21 @@ class World(NamedTuple):
     env_sampling_probability: jnp.ndarray  # f32
     center: jnp.ndarray  # f32[3] scene bound center
     radius: jnp.ndarray  # f32 scene bound radius
+    bvh: BVH  # stackless accelerator (accel/)
+
+    def intersect(self, o, d, t_min, t_max):
+        """Closest-hit dispatch (Accelerator::hit equivalent,
+        src/accelerator/mod.rs:86-178): dense sweep for small scenes,
+        stackless BVH traversal for large ones — chosen statically by the
+        primitive-array shape, so each compiled render uses exactly one."""
+        if self.prims.count <= DENSE_MAX_PRIMS:
+            return intersect_dense(self.prims, o, d, t_min, t_max)
+        return intersect_bvh(self.prims, self.bvh, o, d, t_min, t_max)
+
+    def intersect_any(self, o, d, t_min, t_max):
+        if self.prims.count <= DENSE_MAX_PRIMS:
+            return intersect_any_dense(self.prims, o, d, t_min, t_max)
+        return intersect_any_bvh(self.prims, self.bvh, o, d, t_min, t_max)
 
     def pick_random_light(self, u):
         """Uniform light pick (src/world/mod.rs:100-124).

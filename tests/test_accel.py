@@ -1,0 +1,118 @@
+"""BVH accelerator: build invariants + hit parity vs the dense sweep
+(reference test analogue: accelerator correctness,
+src/accelerator/{bvh,lbvh}.rs)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathtracer_tpu.accel import build_bvh_arrays, intersect_bvh, intersect_any_bvh
+from pathtracer_tpu.accel.sah import build_sah_bvh
+from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense
+from pathtracer_tpu.parsing import SceneBuilder
+from pathtracer_tpu.parsing.meshes import load_obj
+from pathtracer_tpu.parsing.paths import resolve
+from pathtracer_tpu.core import spectral
+
+
+def _triangle_soup_world(n_tris=600, seed=0):
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.7), name="w")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="t")
+    mw = b.add_lambertian(tw, name="m")
+    centers = rng.uniform(-2, 2, size=(n_tris, 3))
+    verts = []
+    faces = []
+    for i, c in enumerate(centers):
+        tri = c + rng.normal(scale=0.45, size=(3, 3))
+        verts.extend(tri)
+        faces.append([3 * i, 3 * i + 1, 3 * i + 2])
+    b.add_mesh(np.asarray(verts), np.asarray(faces), None, mw)
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    b.set_environment_constant(one, 1.0)
+    return b.build()
+
+
+def test_sah_build_invariants():
+    rng = np.random.default_rng(1)
+    lo = rng.uniform(-5, 5, size=(300, 3))
+    hi = lo + rng.uniform(0.01, 0.5, size=(300, 3))
+    nodes, order = build_sah_bvh(lo, hi, leaf_size=4)
+    assert sorted(order.tolist()) == list(range(300))
+    bvh = build_bvh_arrays(lo, hi)
+    m = bvh.n_nodes
+    exit_idx = np.asarray(bvh.exit_idx)
+    assert (exit_idx >= 0).all() and (exit_idx <= m).all()
+    # exit always jumps FORWARD in DFS order (stackless invariant)
+    assert (exit_idx > np.arange(m)).all()
+    # leaves cover all prims
+    starts = np.asarray(bvh.prim_start)
+    counts = np.asarray(bvh.prim_count)
+    covered = sum(int(c) for s, c in zip(starts, counts) if s >= 0)
+    assert covered == 300
+
+
+def test_bvh_hit_parity_with_dense():
+    world = _triangle_soup_world()
+    rng = np.random.default_rng(2)
+    n = 512
+    o = jnp.asarray(rng.uniform(-4, 4, size=(n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_min = jnp.full((n,), 1e-4)
+    t_max = jnp.full((n,), 1e9)
+    hd = intersect_dense(world.prims, o, d, t_min, t_max)
+    hb = intersect_bvh(world.prims, world.bvh, o, d, t_min, t_max)
+    assert np.array_equal(np.asarray(hd.hit), np.asarray(hb.hit))
+    hit = np.asarray(hd.hit)
+    assert hit.mean() > 0.15, "soup should be hit reasonably often"
+    assert np.allclose(np.asarray(hd.t)[hit], np.asarray(hb.t)[hit], rtol=1e-4)
+    assert np.array_equal(np.asarray(hd.prim_id)[hit], np.asarray(hb.prim_id)[hit])
+
+
+def test_bvh_anyhit_parity():
+    world = _triangle_soup_world()
+    rng = np.random.default_rng(3)
+    n = 256
+    o = jnp.asarray(rng.uniform(-4, 4, size=(n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_min = jnp.full((n,), 1e-4)
+    t_max = jnp.full((n,), 3.0)
+    a = np.asarray(intersect_any_dense(world.prims, o, d, t_min, t_max))
+    bvh_hit = np.asarray(intersect_any_bvh(world.prims, world.bvh, o, d, t_min, t_max))
+    assert np.array_equal(a, bvh_hit)
+
+
+def test_monkey_mesh_renders_via_bvh():
+    """The monkey OBJ (~1k faces) exceeds DENSE_MAX_PRIMS, exercising the
+    BVH path end-to-end."""
+    from pathtracer_tpu.camera import make_projective_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.renderer import render_sampled
+
+    meshes = load_obj(resolve("data/meshes/monkey.obj", ["/root/reference"]))
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.8), name="w")
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="t")
+    mw = b.add_lambertian(tw, name="m")
+    for mesh in meshes:
+        b.add_mesh(mesh.vertices, mesh.indices, mesh.normals, mw)
+    b.set_environment_constant(one, 1.0)
+    b.env_sampling_probability = 1.0
+    world = b.build()
+    assert world.prims.count > 256
+    cam = make_projective_camera([0.0, -3.0, 0.3], [0, 0, 0], vfov_degrees=35.0,
+                                 focal_distance=3.0)
+    film, profile, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=3, light_samples=1), 24, 24,
+        min_samples=4, key=jax.random.PRNGKey(0), sample_chunk=4,
+    )
+    f = np.asarray(film)
+    assert np.all(np.isfinite(f))
+    assert f[..., 1].mean() > 1.0  # lit by the furnace env
