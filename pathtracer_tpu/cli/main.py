@@ -87,6 +87,7 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
         russian_roulette=rs.russian_roulette,
         only_direct=rs.only_direct,
         medium_aware=integ.medium_aware,
+        hwss=rs.hwss,
         wavelength_bounds=rs.wavelength_bounds,
     )
     film, profile, elapsed = render_sampled(

@@ -1,27 +1,29 @@
-"""Wavefront spectral path tracer with NEE + MIS and participating media.
+"""Wavefront spectral path tracer: NEE + MIS, participating media, and
+hero-wavelength spectral sampling (HWSS).
 
 Capability parity with the reference's PathTracingIntegrator + random_walk +
-random_walk_medium (src/integrator/pt.rs:397-614, src/integrator/
-utils.rs:152-376,708-1103), re-designed as a fixed-shape wavefront: one λ
-per sample, a `lax.while_loop` over bounce rounds with masked lanes (dead
-rays idle — on TPU masking a converged lane is cheaper than compaction
-until occupancy drops far), NEE shadow rays batched per round, balance-
-heuristic MIS between BSDF sampling and next-event estimation (instance
-lights ∪ environment).
+random_walk_medium + the dormant random_walk_hero
+(src/integrator/pt.rs:397-614, src/integrator/utils.rs:152-376,377-602,
+708-1103), re-designed as a fixed-shape wavefront: a `lax.while_loop` over
+bounce rounds with masked lanes, NEE shadow rays batched per round,
+balance-heuristic MIS between BSDF sampling and next-event estimation.
 
-Medium-aware mode (settings.medium_aware): each ray tracks its current
-medium id (the reference keeps a sorted `tracked_mediums` stack,
-utils.rs:940-1005; the wavefront carries the innermost id — equivalent for
-non-overlapping media). Per round: sample a free-flight distance against
-σ_s; if it beats the surface hit the lane scatters in-medium via the phase
-function, else the surface interaction runs and transmissive boundaries
-swap the tracked id. Either way β *= e^{-σ_a·t} (σ_s cancels against the
-exponential-sampling pdf).
+HWSS (settings.hwss): each ray carries C=4 wavelengths [N,C] — the hero λ
+plus equally-rotated companions. All *decisions* (BSDF direction, RR,
+free-flight) use the hero; spectral quantities (β, radiance, σ, emission,
+Fresnel) are per-lane. Lane throughput after a hero-sampled bounce is
+ratio_hero · f_i/f_hero — exact single-sample weighting that collapses to
+the hero alone under dispersion (the reference's hero divide-out pattern,
+utils.rs:790-805). This cuts the CIE-integration variance ~4× per sample
+for the cost of extra BSDF evals (geometry is shared).
 
-Transport-mode note: camera paths here use TransportMode.Radiance (PBRT
+Medium-aware mode: each ray tracks its innermost medium id (the reference
+keeps a stack, utils.rs:940-1005 — equivalent for non-overlapping media).
+β *= σ-weighted transmittance with the hero free-flight pdf divided out.
+
+Transport-mode note: camera paths use TransportMode.Radiance (PBRT
 convention — refraction applies the Veach 5.2.2.1 η² factor); the reference
-labels the same camera-path mode "Importance" — physics identical, label
-flipped.
+labels the same camera-path mode "Importance" — physics identical.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 
 from pathtracer_tpu.core import sampling, vecmath, cie
 from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
-from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
+from pathtracer_tpu.geometry import sample_surface
 from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission
 from pathtracer_tpu.mediums.tables import medium_coefficients, phase_eval, phase_sample
 from pathtracer_tpu.prelude import (
@@ -60,20 +62,32 @@ class PTSettings:
     russian_roulette: bool = True
     only_direct: bool = False
     medium_aware: bool = False
+    hwss: bool = False  # hero-wavelength ×4 (config.rs hwss flag)
     wavelength_bounds: Bounds1D = BOUNDED_VISIBLE_RANGE
+
+
+HWSS_LANES = 4
 
 
 def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
     """Trace one wavefront of camera rays to completion.
 
-    o0, d0: f32[N,3] camera rays; lam: f32[N] sampled wavelengths;
-    key: PRNG key for the walk. Returns (energy f32[N], counters f32[5]).
-    Energy is spectral radiance at λ — callers convert via CIE and the λ-pdf.
-    """
-    n = o0.shape[0]
+    o0, d0: f32[N,3]; lam: f32[N] or f32[N,C] wavelength lanes (lane 0 =
+    hero). Returns (energy f32[N,C], counters f32[5])."""
+    if lam.ndim == 1:
+        lam = lam[:, None]
+    n, C = lam.shape
+    lam_f = lam.reshape(-1)
+    lam_hero = lam[:, 0]
+
+    def rep(x):
+        return jnp.repeat(x, C, axis=0)
+
+    def lanes(x):
+        return x.reshape(n, C)
+
     env_prob = jnp.clip(world.env_sampling_probability, 0.0, 1.0)
     have_lights = world.n_lights > 0
-    # NEE picks the environment with env_prob (or always, if no lights exist)
     p_env = jnp.where(have_lights, env_prob, 1.0)
     nee_enabled = settings.light_samples > 0
     medium_aware = settings.medium_aware
@@ -81,6 +95,19 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
     def mis_or_one(use_mis, pdf_a, pdf_b):
         w = power_heuristic(pdf_a, jnp.maximum(pdf_b, 0.0))
         return jnp.where(use_mis & (pdf_a + pdf_b > 0.0), w, 1.0)
+
+    def spectral_emission(mat_id, uv, cos_theta):
+        return lanes(emission(world.mats, world.bank, rep(mat_id), lam_f, rep(uv), rep(cos_theta)))
+
+    def spectral_env(d):
+        return lanes(env_emission(world.env, world.bank, world.tex, rep(d), lam_f))
+
+    def spectral_bsdf_eval(mat_id, uv, wi_l, wo_l, mode):
+        f, pdf = bsdf_eval(
+            world.mats, world.bank, world.tex, rep(mat_id), lam_f, rep(uv),
+            rep(wi_l), rep(wo_l), mode,
+        )
+        return lanes(f), lanes(pdf)
 
     def body(state):
         (bounce, o, d, beta, radiance, alive, prev_pdf, cur_med, counters) = state
@@ -94,19 +121,27 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
 
         # ---- free-flight sampling in the tracked medium (utils.rs:767-805)
         if medium_aware:
-            sigma_s, sigma_a, _ = medium_coefficients(world.mediums, world.bank, cur_med, lam)
+            sigma_s, sigma_a, _ = [
+                lanes(x) for x in medium_coefficients(world.mediums, world.bank, rep(cur_med), lam_f)
+            ]
+            sigma_t = sigma_s + sigma_a
+            ss_hero = sigma_s[:, 0]
             flight = jnp.where(
-                sigma_s > 1e-12,
-                -jnp.log(jnp.maximum(1.0 - u[:, 4], 1e-12)) / jnp.maximum(sigma_s, 1e-12),
+                ss_hero > 1e-12,
+                -jnp.log(jnp.maximum(1.0 - u[:, 4], 1e-12)) / jnp.maximum(ss_hero, 1e-12),
                 jnp.inf,
             )
             surf_t = jnp.where(hr.hit, hr.t, RAY_TMAX)
             scattered = alive & (flight < surf_t)
-            travel = jnp.minimum(flight, surf_t)
-            # σ_s cancels against the sampling pdf; absorption survives
-            beta = beta * jnp.where(
-                alive & (cur_med != 0), jnp.exp(-sigma_a * jnp.minimum(travel, 1e8)), 1.0
-            )
+            travel = jnp.minimum(jnp.minimum(flight, surf_t), 1e8)
+            # hero-pdf divide-out (utils.rs:790-805): scatter event weight
+            # σs_i·e^{−σt_i t}/(σs_h·e^{−σs_h t}); surface event weight
+            # e^{−σt_i t}/e^{−σs_h t}
+            in_med = alive & (cur_med != 0)
+            w_exp = jnp.exp(-(sigma_t - ss_hero[:, None]) * travel[:, None])
+            w_scat = safe_div(sigma_s, ss_hero[:, None]) * w_exp
+            lane_w = jnp.where(scattered[:, None], w_scat, w_exp)
+            beta = beta * jnp.where(in_med[:, None], lane_w, 1.0)
         else:
             scattered = jnp.zeros((n,), bool)
 
@@ -114,18 +149,18 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
 
         # ---- environment escape (utils.rs:344-373 + pt.rs:487-511)
         escaped = alive & ~hr.hit & ~scattered
-        env_e = env_emission(world.env, world.bank, world.tex, d, lam)
+        env_e = spectral_env(d)
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce > 0) & nee_enabled & (p_env > 0.0)
         w_env = mis_or_one(use_mis_env, prev_pdf, env_nee_pdf)
-        radiance = radiance + jnp.where(escaped, beta * env_e * w_env, 0.0)
+        radiance = radiance + jnp.where(escaped[:, None], beta * env_e * w_env[:, None], 0.0)
         counters = counters.at[prof.ENV_HITS].add(jnp.sum(escaped.astype(jnp.float32)))
         alive = alive & (hr.hit | scattered)
 
         # ---- emissive hit (pt.rs:512-560)
         wi_world = -d
         cos_at_light = vecmath.dot(hr.geo_normal, wi_world)
-        le = emission(world.mats, world.bank, jnp.maximum(hr.material_id, 0), lam, hr.uv, cos_at_light)
+        le = spectral_emission(jnp.maximum(hr.material_id, 0), hr.uv, cos_at_light)
         pick_pdf = safe_div(1.0 - p_env, world.n_lights.astype(jnp.float32))
         hyp_nee_pdf = pick_pdf * safe_div(
             hr.t * hr.t, jnp.abs(cos_at_light) * world.prims.area[jnp.maximum(hr.prim_id, 0)]
@@ -133,7 +168,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         use_mis_light = (bounce > 0) & nee_enabled & have_lights
         w_light = mis_or_one(use_mis_light, prev_pdf, hyp_nee_pdf)
         is_light_hit = at_surface & (hr.mat_kind == 1)
-        radiance = radiance + jnp.where(is_light_hit, beta * le * w_light, 0.0)
+        radiance = radiance + jnp.where(is_light_hit[:, None], beta * le * w_light[:, None], 0.0)
 
         if settings.only_direct:
             # direct-only: bsdf-hit emission at bounce 1 was just added; stop
@@ -164,9 +199,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 dist = jnp.sqrt(dist2)
                 dir_l = to_l / dist[..., None]
                 cos_l = vecmath.dot(ln, -dir_l)
-                le_nee = emission(
-                    world.mats, world.bank, world.prims.material_id[light_prim], lam,
-                    jnp.zeros((n, 2)), cos_l,
+                le_nee = spectral_emission(
+                    world.prims.material_id[light_prim], jnp.zeros((n, 2)), cos_l
                 )
                 sa_pdf_light = (1.0 - p_env) * lp_pdf * area_pdf * safe_div(
                     dist2, jnp.abs(cos_l)
@@ -174,11 +208,11 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 # environment branch
                 env_dir, env_pdf = env_sample_uv(world.env, u1, u2)
                 sa_pdf_env = env_pdf * p_env
-                le_env = env_emission(world.env, world.bank, world.tex, env_dir, lam)
+                le_env = spectral_env(env_dir)
 
                 nee_dir = jnp.where(chose_env[..., None], env_dir, dir_l)
                 nee_pdf = jnp.where(chose_env, sa_pdf_env, sa_pdf_light)
-                nee_le = jnp.where(chose_env, le_env, le_nee)
+                nee_le = jnp.where(chose_env[:, None], le_env, le_nee)
                 # 1% end margin keeps the sampled light itself (and the
                 # origin offset) outside the occlusion interval — the
                 # reference's veach_v uses the same tmax*0.99 slack
@@ -186,25 +220,25 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 nee_tmax = jnp.where(chose_env, RAY_TMAX, dist * 0.99)
 
                 wo_local = frame.to_local(nee_dir)
-                f_surf, pdf_surf = bsdf_eval(
-                    world.mats, world.bank, world.tex,
-                    jnp.maximum(hr.material_id, 0), lam, hr.uv,
-                    wi_local, wo_local, TransportMode.Radiance,
+                f_surf, pdf_surf = spectral_bsdf_eval(
+                    jnp.maximum(hr.material_id, 0), hr.uv, wi_local, wo_local,
+                    TransportMode.Radiance,
                 )
-                thr_surf = f_surf * jnp.abs(wo_local[..., 2])
+                thr_surf = f_surf * jnp.abs(wo_local[..., 2])[:, None]
                 if medium_aware:
-                    # phase angle is between the propagation direction d and
-                    # the outgoing NEE direction
-                    ph = phase_eval(
-                        world.mediums, world.bank, cur_med, lam,
-                        vecmath.dot(d, nee_dir),
-                    )
-                    thr = jnp.where(scattered, ph, thr_surf)
-                    fwd_pdf = jnp.where(scattered, ph, pdf_surf)
+                    # phase angle between propagation dir d and NEE direction
+                    ph = lanes(phase_eval(
+                        world.mediums, world.bank, rep(cur_med), lam_f,
+                        rep(vecmath.dot(d, nee_dir)),
+                    ))
+                    thr = jnp.where(scattered[:, None], ph, thr_surf)
+                    fwd_pdf_hero = jnp.where(scattered, ph[:, 0], pdf_surf[:, 0])
                 else:
                     thr = thr_surf
-                    fwd_pdf = pdf_surf
-                worth = alive & (nee_le > 0.0) & (nee_pdf > 1e-12) & (thr > 0.0)
+                    fwd_pdf_hero = pdf_surf[:, 0]
+                worth = alive & (jnp.max(nee_le, axis=-1) > 0.0) & (nee_pdf > 1e-12) & (
+                    jnp.max(thr, axis=-1) > 0.0
+                )
                 offset_n = jnp.where(
                     scattered[..., None], jnp.zeros_like(hr.geo_normal), hr.geo_normal
                 )
@@ -218,51 +252,74 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 )
                 visible = ~blocked
                 if medium_aware:
-                    # transmittance of the tracked medium along the shadow ray
                     tr_dist = jnp.where(chose_env, 2.0 * world.radius, dist)
                     tr = jnp.where(
-                        cur_med != 0,
-                        jnp.exp(-(sigma_s + sigma_a) * jnp.minimum(tr_dist, 1e8)),
+                        (cur_med != 0)[:, None],
+                        jnp.exp(-sigma_t * jnp.minimum(tr_dist, 1e8)[:, None]),
                         1.0,
                     )
                 else:
                     tr = 1.0
-                w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf)
-                contrib = beta * thr * nee_le * tr * safe_div(w_nee, nee_pdf) * inv_ls
-                radiance = radiance + jnp.where(worth & visible, contrib, 0.0)
+                # NEE vs (hero-sampled) BSDF strategy: the bsdf strategy
+                # density is the hero pdf for every lane
+                w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf_hero)
+                contrib = beta * thr * nee_le * tr * safe_div(w_nee, nee_pdf)[:, None] * inv_ls
+                radiance = radiance + jnp.where((worth & visible)[:, None], contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
                     jnp.sum((alive & worth).astype(jnp.float32))
                 )
 
         # ---- BSDF / phase sampling + throughput update (utils.rs:214-321)
-        wo_local, f, f_pdf, ratio_surf = bsdf_sample(
+        # direction decided by the HERO wavelength
+        wo_local, f_hero, f_pdf, ratio_hero = bsdf_sample(
             world.mats, world.bank, world.tex,
-            jnp.maximum(hr.material_id, 0), lam, hr.uv,
+            jnp.maximum(hr.material_id, 0), lam_hero, hr.uv,
             wi_local, u[:, 0], u[:, 1], u[:, 2], TransportMode.Radiance,
         )
+        if C > 1:
+            # per-lane weight = ratio_hero · f_i/f_hero (exact; collapses to
+            # the hero under dispersion — utils.rs hero divide-out)
+            f_lanes, _ = spectral_bsdf_eval(
+                jnp.maximum(hr.material_id, 0), hr.uv, wi_local, wo_local,
+                TransportMode.Radiance,
+            )
+            scale = safe_div(f_lanes, f_lanes[:, :1])
+            scale = jnp.concatenate([jnp.ones((n, 1)), scale[:, 1:]], axis=1)
+            ratio_lanes = ratio_hero[:, None] * scale
+        else:
+            ratio_lanes = ratio_hero[:, None]
         d_surf = vecmath.normalize(frame.to_world(wo_local))
         if medium_aware:
-            wo_med, ph_pdf = phase_sample(
-                world.mediums, world.bank, cur_med, lam, d, u[:, 5], u[:, 6]
+            wo_med, ph_pdf_f = phase_sample(
+                world.mediums, world.bank, cur_med, lam_hero, d, u[:, 5], u[:, 6]
             )
-            # HG/Rayleigh samplers have pdf == phase value -> weight 1
-            ratio = jnp.where(scattered, 1.0, ratio_surf)
-            f_pdf = jnp.where(scattered, ph_pdf, f_pdf)
+            if C > 1:
+                ph_lanes = lanes(phase_eval(
+                    world.mediums, world.bank, rep(cur_med), lam_f,
+                    rep(vecmath.dot(d, wo_med)),
+                ))
+                ph_scale = safe_div(ph_lanes, ph_lanes[:, :1])
+                ph_scale = jnp.concatenate([jnp.ones((n, 1)), ph_scale[:, 1:]], axis=1)
+            else:
+                ph_scale = jnp.ones((n, 1))
+            ratio_lanes = jnp.where(scattered[:, None], ph_scale, ratio_lanes)
+            ratio_hero_all = jnp.where(scattered, 1.0, ratio_hero)
+            f_pdf = jnp.where(scattered, ph_pdf_f, f_pdf)
             d_new = jnp.where(scattered[..., None], wo_med, d_surf)
         else:
-            ratio = ratio_surf
+            ratio_hero_all = ratio_hero
             d_new = d_surf
-        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio > 0.0))
+        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio_hero_all > 0.0))
         # russian roulette with continue-prob min(throughput gain, 1)
-        # (utils.rs:266-276)
+        # (utils.rs:266-276), driven by the hero lane
         if settings.russian_roulette:
             rr_on = bounce >= settings.min_bounces
-            p_cont = jnp.where(rr_on, jnp.clip(ratio, 0.05, 1.0), 1.0)
+            p_cont = jnp.where(rr_on, jnp.clip(ratio_hero_all, 0.05, 1.0), 1.0)
         else:
             p_cont = jnp.ones((n,), jnp.float32)
         survive = u[:, 3] < p_cont
-        beta = beta * jnp.where(sample_ok, ratio / p_cont, 0.0)
-        alive = alive & sample_ok & survive & jnp.isfinite(beta)
+        beta = beta * jnp.where(sample_ok[:, None], ratio_lanes / p_cont[:, None], 0.0)
+        alive = alive & sample_ok & survive & jnp.all(jnp.isfinite(beta), axis=-1)
 
         o_new = jnp.where(
             scattered[..., None],
@@ -299,17 +356,18 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         return (bounce < settings.max_bounces) & jnp.any(alive)
 
     # init state derived from the varying inputs (shard_map VMA-compatible)
-    zero = o0[:, 0] * 0.0 + lam * 0.0
-    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n)) + jnp.sum(zero)
+    zero1 = o0[:, 0] * 0.0 + lam_hero * 0.0
+    zeroC = lam * 0.0
+    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n)) + jnp.sum(zero1)
     state0 = (
         jnp.int32(0),
         o0,
         d0,
-        zero + 1.0,
-        zero,
-        zero < 1.0,
-        zero,
-        zero.astype(jnp.int32),
+        zeroC + 1.0,
+        zeroC,
+        zero1 < 1.0,
+        zero1,
+        zero1.astype(jnp.int32),
         counters0,
     )
     state = jax.lax.while_loop(cond, body, state0)
@@ -323,18 +381,28 @@ def _frame_arrays(normal):
     return t, b, normal
 
 
+def sample_hero_wavelengths(key, n, bounds: Bounds1D, lanes: int):
+    """Hero λ uniform + equally-rotated companions wrapping the range
+    (Wilkie et al. HWSS; the reference's planned f32x4 λ packs)."""
+    u = jax.random.uniform(key, (n,))
+    offs = jnp.arange(lanes, dtype=jnp.float32) / lanes
+    return bounds.lower + ((u[:, None] + offs[None, :]) % 1.0) * bounds.span
+
+
 def trace_camera_sample(world, camera, settings: PTSettings, film_uv, key):
-    """One full PT sample for a wavefront of film points: sample λ, generate
-    the lens ray, walk, convert to XYZ (pt.rs color() equivalent).
+    """One full PT sample for a wavefront of film points: sample λ lanes,
+    generate the lens ray, walk, convert to XYZ (pt.rs color() equivalent).
     film_uv: f32[N,2]. Returns (xyz f32[N,3], counters)."""
     n = film_uv.shape[0]
     k_lam, k_lens, k_walk = jax.random.split(key, 3)
     wb = settings.wavelength_bounds
-    lam = wb.sample(jax.random.uniform(k_lam, (n,)))
+    C = HWSS_LANES if settings.hwss else 1
+    lam = sample_hero_wavelengths(k_lam, n, wb, C)
     ul = jax.random.uniform(k_lens, (n, 2))
     o, d, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
     energy, counters = pt_trace(world, settings, o, d, lam, k_walk)
-    # MC estimator of ∫ L(λ) x̄(λ) dλ with uniform λ-pdf 1/span; tau carries
-    # camera-ray weight (0 = vignetted by a lens assembly)
-    xyz = cie.wavelength_to_xyz(lam, energy * tau) * wb.span
+    # MC estimator of ∫ L(λ) x̄(λ) dλ: each lane has pdf C/span -> average
+    # the lanes and scale by span; tau = camera-ray weight (vignetting)
+    xyz = jnp.sum(cie.wavelength_to_xyz(lam, energy), axis=1) * (wb.span / C)
+    xyz = xyz * tau[:, None]
     return xyz, counters
