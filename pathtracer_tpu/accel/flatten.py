@@ -76,9 +76,19 @@ def flatten_bvh(nodes: List[BuildNode], prim_order: np.ndarray):
     return lo, hi, exit_idx, prim_start, prim_count, prim_order.astype(np.int32)
 
 
-def build_bvh_arrays(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = LEAF_K) -> BVH:
-    nodes, order = build_sah_bvh(aabb_lo, aabb_hi, leaf_size)
-    lo, hi, exit_idx, prim_start, prim_count, prim_order = flatten_bvh(nodes, order)
+def build_bvh_arrays(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = LEAF_K,
+                     use_native: bool = True) -> BVH:
+    result = None
+    if use_native and len(aabb_lo) >= 64:
+        from pathtracer_tpu.accel.native import build_bvh_native
+
+        result = build_bvh_native(np.asarray(aabb_lo, np.float32),
+                                  np.asarray(aabb_hi, np.float32), leaf_size)
+    if result is not None:
+        lo, hi, exit_idx, prim_start, prim_count, prim_order = result
+    else:
+        nodes, order = build_sah_bvh(aabb_lo, aabb_hi, leaf_size)
+        lo, hi, exit_idx, prim_start, prim_count, prim_order = flatten_bvh(nodes, order)
     # pad prim_order so leaf gathers of LEAF_K never go out of bounds
     pad = np.concatenate([prim_order, np.zeros(leaf_size, np.int32)])
     return BVH(

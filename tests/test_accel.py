@@ -116,3 +116,55 @@ def test_monkey_mesh_renders_via_bvh():
     f = np.asarray(film)
     assert np.all(np.isfinite(f))
     assert f[..., 1].mean() > 1.0  # lit by the furnace env
+
+
+def test_native_builder_matches_python():
+    """The C++ builder (native/bvh_builder.cpp) must produce a tree that
+    traverses to identical hits as the Python reference builder."""
+    from pathtracer_tpu.accel.native import build_bvh_native, native_available
+    from pathtracer_tpu.accel.flatten import build_bvh_arrays, BVH
+    import jax.numpy as jnp
+
+    if not native_available():
+        pytest.skip("no g++ toolchain for the native builder")
+    world = _triangle_soup_world(n_tris=500, seed=7)
+    prims = world.prims
+    lo = np.asarray(
+        jnp.minimum(jnp.minimum(prims.pa, prims.pb), prims.pc) - 1e-4
+    )[: 1500]
+    hi = np.asarray(
+        jnp.maximum(jnp.maximum(prims.pa, prims.pb), prims.pc) + 1e-4
+    )[: 1500]
+    # use only the real (non-padded) triangles
+    valid = np.asarray(prims.valid)
+    lo, hi = lo[valid[: len(lo)]], hi[valid[: len(hi)]]
+
+    native = build_bvh_native(lo, hi, 4)
+    assert native is not None
+    n_lo, n_hi, n_exit, n_start, n_count, n_order = native
+    m = len(n_lo)
+    assert sorted(n_order.tolist()) == list(range(len(lo)))
+    assert (n_exit > np.arange(m)).all() and (n_exit <= m).all()
+    covered = int(n_count[n_start >= 0].sum())
+    assert covered == len(lo)
+
+    # traversal parity: python-built vs native-built BVH over the same prims
+    bvh_py = build_bvh_arrays(lo, hi, use_native=False)
+    bvh_nat = BVH(
+        lo=jnp.asarray(n_lo), hi=jnp.asarray(n_hi), exit_idx=jnp.asarray(n_exit),
+        prim_start=jnp.asarray(n_start), prim_count=jnp.asarray(n_count),
+        prim_order=jnp.asarray(np.concatenate([n_order, np.zeros(4, np.int32)])),
+    )
+    rng = np.random.default_rng(11)
+    n = 256
+    # the boxes here are the world prims' triangles, so reuse world.prims
+    o = jnp.asarray(rng.uniform(-4, 4, size=(n, 3)), jnp.float32)
+    d = rng.normal(size=(n, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True), jnp.float32)
+    t_min = jnp.full((n,), 1e-4)
+    t_max = jnp.full((n,), 1e9)
+    h1 = intersect_bvh(world.prims, bvh_py, o, d, t_min, t_max)
+    h2 = intersect_bvh(world.prims, bvh_nat, o, d, t_min, t_max)
+    assert np.array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    hitm = np.asarray(h1.hit)
+    assert np.allclose(np.asarray(h1.t)[hitm], np.asarray(h2.t)[hitm], rtol=1e-4)
