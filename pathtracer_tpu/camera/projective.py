@@ -18,6 +18,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from pathtracer_tpu.core import vecmath, sampling
+from pathtracer_tpu.camera.aperture import sample_aperture
 
 
 class ProjectiveCamera(NamedTuple):
@@ -29,12 +30,16 @@ class ProjectiveCamera(NamedTuple):
     half_height: jnp.ndarray
     focal_distance: jnp.ndarray  # f32
     lens_radius: jnp.ndarray  # f32 (aperture_diameter / 2)
+    blades: jnp.ndarray  # i32; 0 = circular aperture
+    blade_sharpness: jnp.ndarray  # f32
 
     def get_ray(self, film_u, film_v, lens_u1, lens_u2):
         """Film (u,v) in [0,1)² (v=0 = top row) + lens samples -> (o, d, tau).
         Equivalent of Camera::get_ray (src/camera/mod.rs:19-48); tau is the
         ray weight (1 for thin lens; realistic cameras use 0 = vignetted)."""
-        lens_xy = sampling.random_in_unit_disk(lens_u1, lens_u2) * self.lens_radius
+        lens_xy = sample_aperture(
+            lens_u1, lens_u2, self.lens_radius, self.blades, self.blade_sharpness
+        )
         o = (
             self.origin
             + lens_xy[..., 0:1] * self.u
@@ -80,6 +85,8 @@ def make_projective_camera(
     focal_distance: float = 1.0,
     aperture_diameter: float = 0.0,
     aspect_ratio: float = 1.0,
+    blades: int = 0,
+    blade_sharpness: float = 1.0,
 ) -> ProjectiveCamera:
     lf = np.asarray(look_from, np.float64)
     la = np.asarray(look_at, np.float64)
@@ -103,4 +110,6 @@ def make_projective_camera(
         half_height=jnp.float32(half_height),
         focal_distance=jnp.float32(focal_distance),
         lens_radius=jnp.float32(aperture_diameter / 2.0),
+        blades=jnp.int32(blades),
+        blade_sharpness=jnp.float32(blade_sharpness),
     )

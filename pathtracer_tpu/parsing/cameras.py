@@ -15,6 +15,8 @@ def build_camera(spec, aspect_ratio: float):
     """spec: parsing.construct.CameraSpec."""
     d = spec.data
     if spec.kind == "SimpleCamera":
+        ap = d.get("aperture", {"type": "Circular"})
+        bladed = ap.get("type") == "Bladed"
         return make_projective_camera(
             look_from=d["look_from"],
             look_at=d["look_at"],
@@ -23,6 +25,8 @@ def build_camera(spec, aspect_ratio: float):
             focal_distance=float(d.get("focal_distance", 1.0)),
             aperture_diameter=float(d.get("aperture_diameter", 0.0)),
             aspect_ratio=aspect_ratio,
+            blades=int(ap.get("blades", 6)) if bladed else 0,
+            blade_sharpness=float(ap.get("sharpness", 1.0)) if bladed else 1.0,
         )
     if spec.kind == "PanoramaCamera":
         return make_panorama_camera(

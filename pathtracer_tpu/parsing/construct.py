@@ -114,6 +114,13 @@ class _Resolver:
             curves = [self.curve(c) for c in entry["curves"]]
             planes = [srgb_to_linear(img[..., k]) for k in range(3)] + [img[..., 3]]
             return list(zip(planes, curves))
+        if typ == "SRGB":
+            # sRGB basis upsampling: image RGB drives the standard sRGB
+            # basis spectra (parsing/texture.rs SRGB variant)
+            img = self._load_ldr(path)
+            curves = [self.curve(c) for c in ("srgb_r", "srgb_g", "srgb_b")]
+            planes = [srgb_to_linear(img[..., k]) for k in range(3)]
+            return list(zip(planes, curves))
         if typ in ("HDR", "EXR"):
             if typ == "HDR":
                 img = load_hdr_rgba(path, float(entry.get("alpha_fill", 0.0)))

@@ -80,3 +80,22 @@ def test_make_realistic_camera_rays():
     assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
     # rays point roughly along +x (the look direction)
     assert (d[:, 0] > 0.5).all()
+
+
+def test_bladed_aperture_shape():
+    """Bladed aperture samples stay inside the blade polygon and differ from
+    the circular distribution (rust_optics SimpleBladedAperture)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.camera.aperture import sample_aperture
+
+    rng = np.random.default_rng(0)
+    u1 = jnp.asarray(rng.uniform(size=20000), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(size=20000), jnp.float32)
+    circ = np.asarray(sample_aperture(u1, u2, 1.0, 0, 1.0))
+    hexa = np.asarray(sample_aperture(u1, u2, 1.0, 6, 1.0))
+    r_c = np.linalg.norm(circ, axis=-1)
+    r_h = np.linalg.norm(hexa, axis=-1)
+    assert r_c.max() <= 1.0 + 1e-5
+    assert r_h.max() <= 1.0 + 1e-5  # polygon inscribed in the unit circle
+    # hexagon area / circle area = 3√3/2π ≈ 0.827 -> mean radius shrinks
+    assert r_h.mean() < r_c.mean() * 0.97
