@@ -216,7 +216,14 @@ def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> 
     # so the scan carry's varying-manual-axes type matches the body output
     zero = o[:, 0] * 0.0 + t_min * 0.0
     init = (zero + jnp.inf, zero.astype(jnp.int32) - 1)
-    (t_best, id_best), _ = jax.lax.scan(body, init, chunk_ids)
+    if n_chunks <= 8:
+        # small scenes: unroll so XLA fuses the whole sweep into one kernel
+        carry = init
+        for c in range(n_chunks):
+            carry, _ = body(carry, chunk_ids[c])
+        t_best, id_best = carry
+    else:
+        (t_best, id_best), _ = jax.lax.scan(body, init, chunk_ids)
     hit = id_best >= 0
     return _fill_attributes(prims, o, d, t_best, jnp.maximum(id_best, 0), hit)
 
@@ -238,7 +245,13 @@ def intersect_any_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None)
         return blocked | jnp.any(jnp.isfinite(t), axis=-1), None
 
     zero = o[:, 0] * 0.0 + t_min * 0.0
-    blocked, _ = jax.lax.scan(body, zero > 1.0, chunk_ids)
+    n_chunks = p // _CHUNK
+    if n_chunks <= 8:
+        blocked = zero > 1.0
+        for c in range(n_chunks):
+            blocked, _ = body(blocked, chunk_ids[c])
+    else:
+        blocked, _ = jax.lax.scan(body, zero > 1.0, chunk_ids)
     return blocked
 
 
