@@ -59,6 +59,7 @@ class Subpath(NamedTuple):
     gn: jnp.ndarray  # geometric normal
     wi: jnp.ndarray  # unit dir from previous vertex to this one (world)
     mat_id: jnp.ndarray  # [N,D]
+    prim_id: jnp.ndarray  # [N,D]
     is_light: jnp.ndarray  # bool
     beta: jnp.ndarray  # throughput up to (and incl. scattering at prev)
     pdf_fwd: jnp.ndarray  # area-measure pdf of generating this vertex
@@ -97,6 +98,7 @@ def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert
         vert = dict(
             pos=hr.point, ns=hr.normal, gn=hr.geo_normal, wi=d,
             mat_id=jnp.maximum(hr.material_id, 0),
+            prim_id=jnp.maximum(hr.prim_id, 0),
             is_light=hr.mat_kind == 1,
             beta=beta, pdf_fwd=pdf_fwd,
             pdf_rev=jnp.zeros((n,)),
@@ -148,7 +150,8 @@ def _stack_subpath(vert0: dict, verts: list, n) -> Subpath:
 
     return Subpath(
         pos=stack("pos"), ns=stack("ns"), gn=stack("gn"), wi=stack("wi"),
-        mat_id=stack("mat_id"), is_light=stack("is_light"), beta=stack("beta"),
+        mat_id=stack("mat_id"), prim_id=stack("prim_id"),
+        is_light=stack("is_light"), beta=stack("beta"),
         pdf_fwd=stack("pdf_fwd"), pdf_rev=stack("pdf_rev"), valid=stack("valid"),
     )
 
@@ -165,8 +168,8 @@ def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n):
     beta0 = jnp.where((world.n_lights > 0) & jnp.isfinite(beta0), beta0, 0.0)
     vert0 = dict(
         pos=lp, ns=ln, gn=ln, wi=jnp.zeros((n, 3)), mat_id=mat_id,
-        is_light=jnp.ones((n,), bool), beta=beta0, pdf_fwd=pdf_pos,
-        pdf_rev=jnp.zeros((n,)), valid=beta0 > 0.0,
+        prim_id=light_prim, is_light=jnp.ones((n,), bool), beta=beta0,
+        pdf_fwd=pdf_pos, pdf_rev=jnp.zeros((n,)), valid=beta0 > 0.0,
     )
     beta1 = beta0 * safe_div(le * cos0, dir_pdf_sa)
     o0 = lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None]
@@ -187,9 +190,10 @@ def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
     vert0 = dict(
         pos=o0, ns=jnp.broadcast_to(camera.w, o0.shape),
         gn=jnp.broadcast_to(camera.w, o0.shape), wi=jnp.zeros((n, 3)),
-        mat_id=jnp.zeros((n,), jnp.int32), is_light=jnp.zeros((n,), bool),
-        beta=jnp.ones((n,)), pdf_fwd=jnp.ones((n,)),
-        pdf_rev=jnp.zeros((n,)), valid=jnp.ones((n,), bool),
+        mat_id=jnp.zeros((n,), jnp.int32), prim_id=jnp.zeros((n,), jnp.int32),
+        is_light=jnp.zeros((n,), bool),
+        beta=tau, pdf_fwd=jnp.ones((n,)),
+        pdf_rev=jnp.zeros((n,)), valid=tau > 0.0,
     )
     verts = _walk_subpath(
         world, o0, d0, tau, lam, TransportMode.Radiance,
@@ -447,9 +451,9 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
 
 
 def _light_pos_pdf(world: World, zv):
-    """Area pdf of NEE-style generation of the light vertex the eye path
-    hit: uniform pick × that primitive's area. The hit prim id is not stored
-    per-vertex; use the light list average area as the estimate (exact for
-    single-light scenes, the shipped BDPT configs)."""
-    mean_area = jnp.mean(world.prims.area[world.lights])
-    return safe_div(1.0, world.n_lights.astype(jnp.float32) * mean_area)
+    """Area pdf of light-subpath generation of the light vertex the eye
+    path hit: uniform pick × that primitive's area (exact — the hit prim id
+    is carried on the vertex)."""
+    return safe_div(
+        1.0, world.n_lights.astype(jnp.float32) * world.prims.area[zv.prim_id]
+    )

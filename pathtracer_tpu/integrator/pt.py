@@ -278,14 +278,25 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         )
         if C > 1:
             # per-lane weight = ratio_hero · f_i/f_hero (exact; collapses to
-            # the hero under dispersion — utils.rs hero divide-out)
+            # the hero under dispersion — utils.rs hero divide-out). When the
+            # hero's f is zero but other lanes are not (e.g. a reflectance
+            # spectrum that is zero at the hero λ), fall back to the direct
+            # f_i·cos/p_hero form so the surviving lanes keep their energy —
+            # killing the whole ray there loses ~5% on Cornell-like spectra.
             f_lanes, _ = spectral_bsdf_eval(
                 jnp.maximum(hr.material_id, 0), hr.uv, wi_local, wo_local,
                 TransportMode.Radiance,
             )
             scale = safe_div(f_lanes, f_lanes[:, :1])
-            scale = jnp.concatenate([jnp.ones((n, 1)), scale[:, 1:]], axis=1)
-            ratio_lanes = ratio_hero[:, None] * scale
+            ratio_stable = ratio_hero[:, None] * scale
+            ratio_direct = safe_div(
+                f_lanes * jnp.abs(wo_local[..., 2])[:, None], f_pdf[:, None]
+            )
+            hero_dead = (f_lanes[:, :1] <= 0.0) & (f_pdf[:, None] > 1e-12)
+            ratio_lanes = jnp.where(hero_dead, ratio_direct, ratio_stable)
+            ratio_lanes = jnp.concatenate(
+                [ratio_hero[:, None], ratio_lanes[:, 1:]], axis=1
+            )
         else:
             ratio_lanes = ratio_hero[:, None]
         d_surf = vecmath.normalize(frame.to_world(wo_local))
@@ -303,18 +314,18 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             else:
                 ph_scale = jnp.ones((n, 1))
             ratio_lanes = jnp.where(scattered[:, None], ph_scale, ratio_lanes)
-            ratio_hero_all = jnp.where(scattered, 1.0, ratio_hero)
             f_pdf = jnp.where(scattered, ph_pdf_f, f_pdf)
             d_new = jnp.where(scattered[..., None], wo_med, d_surf)
         else:
-            ratio_hero_all = ratio_hero
             d_new = d_surf
-        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio_hero_all > 0.0))
+        ratio_best = jnp.max(ratio_lanes, axis=-1)
+        ratio_best = jnp.where(scattered, 1.0, ratio_best) if medium_aware else ratio_best
+        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio_best > 0.0))
         # russian roulette with continue-prob min(throughput gain, 1)
-        # (utils.rs:266-276), driven by the hero lane
+        # (utils.rs:266-276), driven by the strongest lane
         if settings.russian_roulette:
             rr_on = bounce >= settings.min_bounces
-            p_cont = jnp.where(rr_on, jnp.clip(ratio_hero_all, 0.05, 1.0), 1.0)
+            p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
         else:
             p_cont = jnp.ones((n,), jnp.float32)
         survive = u[:, 3] < p_cont
