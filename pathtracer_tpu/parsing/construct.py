@@ -326,7 +326,21 @@ def _build_environment(b: SceneBuilder, r: _Resolver, env: dict, cache_dir: str)
         )
         return
     if typ == "HDRI":
-        tex_idx = r.texture(env["texture_name"])
+        try:
+            tex_idx = r.texture(env["texture_name"])
+        except (FileNotFoundError, KeyError) as e:
+            # several reference scenes point at .hdr assets that were never
+            # committed upstream; degrade to a black constant environment
+            # (exact behaviour for strength == 0 scenes like
+            # cornell_box_medium.toml) instead of failing the build
+            import logging
+
+            logging.getLogger("pathtracer_tpu").warning(
+                "HDRI texture %r unavailable (%s); using black environment",
+                env.get("texture_name"), e)
+            zero = b.add_curve(spectral.FlatCurve(0.0), name="__env_black__")
+            b.set_environment_constant(zero, 0.0)
+            return
         base = Environment.constant(0, strength)
         imp = env.get("importance_map")
         rot = np.eye(3)

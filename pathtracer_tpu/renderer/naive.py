@@ -21,10 +21,11 @@ from pathtracer_tpu.utils.profile import Profile
 from pathtracer_tpu.utils import profile as prof
 
 
-@partial(jax.jit, static_argnames=("settings", "width", "height", "chunk"))
-def _render_chunk(world, camera, key, settings: PTSettings, width: int, height: int, chunk: int):
-    n = width * height
-    ids = jnp.arange(n, dtype=jnp.int32)
+@partial(jax.jit, static_argnames=("settings", "width", "height", "chunk", "batch_n"))
+def _render_chunk(world, camera, key, settings: PTSettings, width: int, height: int,
+                  chunk: int, start: int = 0, batch_n: int | None = None):
+    n = batch_n or (width * height)
+    ids = start + jnp.arange(n, dtype=jnp.int32)
     xy = jnp.stack([(ids % width).astype(jnp.float32), (ids // width).astype(jnp.float32)], axis=-1)
     inv_res = jnp.array([1.0 / width, 1.0 / height], jnp.float32)
 
@@ -51,24 +52,33 @@ def render_sampled(
     key=None,
     sample_chunk: int = 8,
     progress=None,
+    pixel_batch: int | None = None,
 ):
     """Render `min_samples` spp. Returns (film_xyz [H,W,3] sample-mean,
-    Profile, elapsed_seconds)."""
+    Profile, elapsed_seconds). `pixel_batch` splits the film into ray
+    batches (memory control for large films / HWSS)."""
     if key is None:
         key = jax.random.PRNGKey(0)
+    n_pix = width * height
+    batch_n = pixel_batch or n_pix
+    assert n_pix % batch_n == 0, "pixel_batch must divide the film"
     n_chunks = -(-min_samples // sample_chunk)
-    film = jnp.zeros((width * height, 3), jnp.float32)
+    film = jnp.zeros((n_pix, 3), jnp.float32)
     profile = Profile()
     counters_acc = prof.zeros()
     t0 = time.perf_counter()
     done = 0
     for c in range(n_chunks):
         this = min(sample_chunk, min_samples - done)
-        f, counters = _render_chunk(
-            world, camera, sampling.fold(key, 1000 + c), settings, width, height, this
-        )
-        film = film + f
-        counters_acc = counters_acc + counters
+        for b in range(n_pix // batch_n):
+            # fold the batch index too — identical keys across batches would
+            # correlate the per-pixel samples between batches
+            f, counters = _render_chunk(
+                world, camera, sampling.fold(key, 1000 + c, b), settings, width, height,
+                this, start=b * batch_n, batch_n=batch_n,
+            )
+            film = film.at[b * batch_n : (b + 1) * batch_n].add(f)
+            counters_acc = counters_acc + counters
         done += this
         if progress is not None:
             progress(done, min_samples)
