@@ -26,8 +26,10 @@ from pathtracer_tpu.parsing.cameras import build_camera
 from pathtracer_tpu.parsing.paths import DEFAULT_SEARCH_PATHS, resolve
 from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.integrator.lt import LTSettings
+from pathtracer_tpu.integrator.bdpt import BDPTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
 from pathtracer_tpu.renderer.splatted import render_splatted
+from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
 from pathtracer_tpu.renderer.output import output_film
 from pathtracer_tpu.tonemap import Clamp, Reinhard0, Reinhard0x3, Reinhard1, Reinhard1x3
 
@@ -56,12 +58,26 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
     spec = bundle.camera_by_id(rs.camera_id)
     camera = build_camera(spec, aspect_ratio=width / height)
     integ = rs.integrator
-    if integ.kind not in ("PT", "LT"):
+    if integ.kind not in ("PT", "LT", "BDPT"):
         log.warning("integrator %s not yet wired into the CLI; falling back to PT "
                     "(the reference falls back likewise, src/integrator/mod.rs:106-119)",
                     integ.kind)
     t0 = time.perf_counter()
     tm = make_tonemapper(rs.tonemap)
+    if integ.kind == "BDPT":
+        settings = BDPTSettings(
+            max_depth=max(2, rs.max_bounces),
+            wavelength_bounds=rs.wavelength_bounds,
+            selected_pair=integ.selected_pair,
+        )
+        film, profile, elapsed = render_bdpt(
+            bundle.world, camera, settings, width, height, spp, key=key,
+            progress=lambda done, total: log.info("  BDPT %d/%d spp", done, total),
+        )
+        exr, png = output_film(film, rs.filename, tm, rs.colorspace,
+                               rs.premultiply, output_dir)
+        log.info("wrote %s, %s (%.1fs total)", exr, png, time.perf_counter() - t0)
+        return film, profile
     if integ.kind == "LT":
         settings = LTSettings(
             max_bounces=rs.max_bounces,
