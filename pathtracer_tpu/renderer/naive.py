@@ -5,13 +5,20 @@ Capability parity with NaiveRenderer::render_sampled
 `lax.scan` over sample rounds of a full-film wavefront (one ray per pixel
 per round, box-filter jitter), accumulated into a device-resident XYZ film.
 The host only loops over chunks for progress reporting.
+
+Beyond the reference: optional film checkpointing — the accumulating film +
+sample count are written to an npz after every chunk, and an interrupted
+render resumes from it (the reference has no render checkpointing,
+SURVEY §5; long TPU renders want it).
 """
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +60,7 @@ def render_sampled(
     sample_chunk: int = 8,
     progress=None,
     pixel_batch: int | None = None,
+    checkpoint_path: str | None = None,
 ):
     """Render `min_samples` spp. Returns (film_xyz [H,W,3] sample-mean,
     Profile, elapsed_seconds). `pixel_batch` splits the film into ray
@@ -68,7 +76,15 @@ def render_sampled(
     counters_acc = prof.zeros()
     t0 = time.perf_counter()
     done = 0
-    for c in range(n_chunks):
+    start_chunk = 0
+    if checkpoint_path is not None and os.path.exists(checkpoint_path):
+        ck = np.load(checkpoint_path)
+        if int(ck["width"]) == width and int(ck["height"]) == height:
+            film = jnp.asarray(ck["film"])
+            counters_acc = jnp.asarray(ck["counters"])
+            done = int(ck["done"])
+            start_chunk = int(ck["chunk"])
+    for c in range(start_chunk, n_chunks):
         this = min(sample_chunk, min_samples - done)
         for b in range(n_pix // batch_n):
             # fold the batch index too — identical keys across batches would
@@ -80,6 +96,10 @@ def render_sampled(
             film = film.at[b * batch_n : (b + 1) * batch_n].add(f)
             counters_acc = counters_acc + counters
         done += this
+        if checkpoint_path is not None:
+            np.savez(checkpoint_path, film=np.asarray(film),
+                     counters=np.asarray(counters_acc), done=done, chunk=c + 1,
+                     width=width, height=height)
         if progress is not None:
             progress(done, min_samples)
     film = film / float(min_samples)

@@ -45,3 +45,37 @@ def test_profile_pretty_print():
     p = Profile(camera_rays=100, bounce_rays=200, shadow_rays=300)
     out = p.pretty_print(2.0, devices=2)
     assert "Mrays/s" in out and "600" in out
+
+
+def test_render_checkpoint_resume(tmp_path):
+    """Interrupted renders resume from the film checkpoint."""
+    import jax
+    import numpy as np
+    from pathtracer_tpu.camera import make_projective_camera
+    from pathtracer_tpu.core import spectral
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.parsing import SceneBuilder
+    from pathtracer_tpu.renderer.naive import render_sampled
+
+    b = SceneBuilder()
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    tex = b.add_texture([(np.ones((1, 1), np.float32), one)], name="t")
+    m = b.add_lambertian(tex, name="m")
+    b.add_sphere([0, 0, 0], 1.0, m)
+    b.set_environment_constant(one, 1.0)
+    b.env_sampling_probability = 1.0
+    world = b.build()
+    cam = make_projective_camera([-4, 0, 0], [0, 0, 0], vfov_degrees=30.0,
+                                 focal_distance=4.0)
+    s = PTSettings(max_bounces=2, light_samples=1)
+    ck = str(tmp_path / "film.npz")
+    key = jax.random.PRNGKey(0)
+    full, _, _ = render_sampled(world, cam, s, 8, 8, 8, key=key, sample_chunk=4)
+    # run only the first chunk (pretend interruption), then resume
+    render_sampled(world, cam, s, 8, 8, 4, key=key, sample_chunk=4,
+                   checkpoint_path=ck)
+    import os
+    assert os.path.exists(ck)
+    resumed, _, _ = render_sampled(world, cam, s, 8, 8, 8, key=key,
+                                   sample_chunk=4, checkpoint_path=ck)
+    assert np.allclose(np.asarray(resumed), np.asarray(full), atol=1e-5)
