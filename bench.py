@@ -21,11 +21,11 @@ def main():
     from pathtracer_tpu.integrator.pt import PTSettings
     from pathtracer_tpu.parsing.cameras import build_camera
     from pathtracer_tpu.parsing.construct import construct_world
-    from pathtracer_tpu.renderer.naive import _render_chunk
+    from pathtracer_tpu.renderer.persistent import _regen_pass
     from pathtracer_tpu.utils.profile import Profile
 
     width = height = 1080
-    spp_chunk = 4
+    spp_chunk = 12
     bundle = construct_world(
         "data/scenes/cornell_box.toml",
         search_paths=["/root/repo", "/root/reference"],
@@ -39,18 +39,18 @@ def main():
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
     key = jax.random.PRNGKey(0)
 
-    # warm-up/compile
-    film, counters = _render_chunk(bundle.world, camera, sampling.fold(key, 0),
-                                   settings, width, height, spp_chunk)
+    # warm-up/compile (sample-regeneration wavefront, renderer/persistent.py)
+    film, counters = _regen_pass(bundle.world, camera, sampling.fold(key, 0),
+                                 settings, width, height, spp_chunk)
     film.block_until_ready()
 
-    # timed: 3 chunks
-    n_timed = 3
+    # timed: 2 passes
+    n_timed = 2
     t0 = time.perf_counter()
     total = None
     for i in range(1, n_timed + 1):
-        film, counters = _render_chunk(bundle.world, camera, sampling.fold(key, i),
-                                       settings, width, height, spp_chunk)
+        film, counters = _regen_pass(bundle.world, camera, sampling.fold(key, i),
+                                     settings, width, height, spp_chunk)
         total = counters if total is None else total + counters
     film.block_until_ready()
     total.block_until_ready()

@@ -28,6 +28,7 @@ from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.integrator.lt import LTSettings
 from pathtracer_tpu.integrator.bdpt import BDPTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
+from pathtracer_tpu.renderer.persistent import render_regen
 from pathtracer_tpu.renderer.splatted import render_splatted
 from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
 from pathtracer_tpu.renderer.output import output_film
@@ -106,11 +107,17 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
         hwss=rs.hwss,
         wavelength_bounds=rs.wavelength_bounds,
     )
-    film, profile, elapsed = render_sampled(
-        bundle.world, camera, settings, width, height, spp, key=key,
-        sample_chunk=min(8, spp),
-        progress=lambda done, total: log.info("  %d/%d spp", done, total),
-    )
+    if settings.medium_aware:
+        film, profile, elapsed = render_sampled(
+            bundle.world, camera, settings, width, height, spp, key=key,
+            sample_chunk=min(8, spp),
+            progress=lambda done, total: log.info("  %d/%d spp", done, total),
+        )
+    else:
+        # sample-regeneration wavefront: ~2x the plain loop's throughput
+        film, profile, elapsed = render_regen(
+            bundle.world, camera, settings, width, height, spp, key=key,
+        )
     log.info("%s", profile.pretty_print(elapsed, jax.device_count()))
     exr, png = output_film(film, rs.filename, tm, rs.colorspace, rs.premultiply, output_dir)
     log.info("wrote %s, %s (%.1fs total)", exr, png, time.perf_counter() - t0)

@@ -38,3 +38,41 @@ def render_persistent(world, camera, settings: PTSettings, width: int,
     elapsed = time.perf_counter() - t0
     profile = Profile().add_device_counts(counters)
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
+
+
+@partial(jax.jit, static_argnames=("settings", "width", "height", "spp", "start", "batch_n"))
+def _regen_pass(world, camera, key, settings: PTSettings, width: int,
+                height: int, spp: int, start: int = 0, batch_n: int | None = None):
+    from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
+
+    acc, counters = pt_trace_regen(world, camera, settings, width, height, spp,
+                                   key, start=start, batch_n=batch_n)
+    return acc / float(spp), counters
+
+
+def render_regen(world, camera, settings: PTSettings, width: int, height: int,
+                 min_samples: int, key=None, pixel_batch: int | None = None):
+    """Fixed-pixel sample-regeneration renderer (integrator/pt_regen.py):
+    high occupancy with no scatters. Returns (film [H,W,3], Profile, elapsed)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pix = width * height
+    batch_n = pixel_batch or n_pix
+    assert n_pix % batch_n == 0
+    t0 = time.perf_counter()
+    films = []
+    counters_total = None
+    import jax.numpy as _jnp
+    from pathtracer_tpu.core import sampling as _sampling
+
+    for b in range(n_pix // batch_n):
+        f, c = _regen_pass(world, camera, _sampling.fold(key, 77 + b), settings,
+                           width, height, min_samples, start=b * batch_n,
+                           batch_n=batch_n)
+        films.append(f)
+        counters_total = c if counters_total is None else counters_total + c
+    film = _jnp.concatenate(films, axis=0)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    profile = Profile().add_device_counts(counters_total)
+    return _jnp.reshape(film, (height, width, 3)), profile, elapsed
