@@ -148,3 +148,34 @@ def test_cornell_nee_mis_consistency():
     bb = np.asarray(f_bsdf[..., 1])
     # compare means (pure-bsdf is noisy; mean converges)
     assert abs(a.mean() - bb.mean()) / max(a.mean(), 1e-9) < 0.12, (a.mean(), bb.mean())
+
+
+def test_sharp_light_nee_consistency():
+    """Cosine-power (SharpLight) emitters: NEE+MIS and pure BSDF sampling
+    agree on direct lighting (sharp_light.rs evaluate_inner semantics)."""
+    from pathtracer_tpu.integrator.pt import pt_trace
+    from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
+
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(1.0), name="w")
+    emit = b.add_curve(spectral.FlatCurve(10.0), name="e")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="z")
+    tex = b.add_texture([(np.ones((1, 1), np.float32), white)], name="t")
+    mw = b.add_lambertian(tex, name="mw")
+    ml = b.add_sharp_light(emit, zero, SIDE_REVERSE, 8.0, name="ml")
+    b.add_rect([0.0, 0.0, 0.0], [5.0, 0, 0], [0, 5.0, 0], mw)
+    b.add_rect([0.0, 0.0, 1.5], [1.2, 0, 0], [0, 1.2, 0], ml)
+    b.set_environment_constant(zero, 0.0)
+    b.env_sampling_probability = 0.0
+    world = b.build()
+    n = 60_000
+    o = jnp.tile(jnp.array([[0.3, 0.1, 0.8]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.05, 0.0, -0.99875]]), (n, 1))
+    lam = jnp.full((n,), 550.0)
+    vals = []
+    for ls in (0, 1):
+        s = PTSettings(max_bounces=2, min_bounces=9, light_samples=ls,
+                       russian_roulette=False)
+        e, _ = pt_trace(world, s, o, d, lam, jax.random.PRNGKey(0))
+        vals.append(float(jnp.mean(e)))
+    assert vals[1] == pytest.approx(vals[0], rel=0.05), vals
