@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from pathtracer_tpu.accel.flatten import BVH, LEAF_K
 from pathtracer_tpu.geometry.aabb import slab_test
 from pathtracer_tpu.geometry.soa import Primitives, _chunk_ts, _fill_attributes
-from pathtracer_tpu.prelude import RAY_TMAX
 
 
 def _traverse(prims: Primitives, bvh: BVH, o, d, t_min, t_max, any_hit: bool,

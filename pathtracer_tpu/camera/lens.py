@@ -18,7 +18,6 @@ from __future__ import annotations
 import dataclasses
 from typing import List, NamedTuple
 
-import numpy as np
 import jax.numpy as jnp
 
 from pathtracer_tpu.core import vecmath

@@ -17,7 +17,7 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from pathtracer_tpu.core import vecmath, sampling
+from pathtracer_tpu.core import vecmath
 from pathtracer_tpu.camera.aperture import sample_aperture
 
 

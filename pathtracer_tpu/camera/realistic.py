@@ -14,7 +14,6 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.camera.lens import LensStack, build_lens_stack, parse_lenses_from, trace_from_film

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from pathtracer_tpu.core import sampling, vecmath
+from pathtracer_tpu.core import sampling
 from pathtracer_tpu.materials import ggx as G
 from pathtracer_tpu.materials import lambertian as L
 from pathtracer_tpu.prelude import TransportMode

@@ -14,13 +14,12 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.camera import make_projective_camera
 from pathtracer_tpu.core import vecmath
-from pathtracer_tpu.tonemap import Clamp, tonemap_to_rgb, write_png
+from pathtracer_tpu.tonemap import Clamp
 from pathtracer_tpu.renderer.output import output_film
 
 

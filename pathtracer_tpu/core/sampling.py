@@ -12,8 +12,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pathtracer_tpu.core import vecmath
-
 
 def fold(key, *ints):
     for i in ints:

@@ -27,11 +27,11 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from pathtracer_tpu.core import sampling, vecmath, cie
+from pathtracer_tpu.core import sampling, vecmath
 from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
-from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
+from pathtracer_tpu.geometry import sample_surface
 from pathtracer_tpu.integrator.lt import _sample_emission_direction
-from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission, sample_emission_spectrum
+from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission
 from pathtracer_tpu.materials.tables import emission_direction_pdf
 from pathtracer_tpu.prelude import (
     INTERSECTION_TIME_OFFSET,

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from pathtracer_tpu.core import sampling, vecmath, cie
 from pathtracer_tpu.core.bounds import Bounds1D, BOUNDED_VISIBLE_RANGE
-from pathtracer_tpu.geometry import intersect_dense, intersect_any_dense, sample_surface
+from pathtracer_tpu.geometry import sample_surface
 from pathtracer_tpu.materials import bsdf_sample, bsdf_eval, emission, sample_emission_spectrum
 from pathtracer_tpu.materials.tables import MAT_SHARP_LIGHT
 from pathtracer_tpu.prelude import (
@@ -39,7 +39,6 @@ from pathtracer_tpu.prelude import (
     safe_div,
 )
 from pathtracer_tpu.utils import profile as prof
-from pathtracer_tpu.world.environment import env_sample_uv, env_emission
 from pathtracer_tpu.world.world import World
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pathtracer_tpu.core import sampling, vecmath, cie
-from pathtracer_tpu.integrator.pt import PTSettings, HWSS_LANES, _frame_arrays, sample_hero_wavelengths
+from pathtracer_tpu.integrator.pt import PTSettings, HWSS_LANES, _frame_arrays
 from pathtracer_tpu.geometry import sample_surface
 from pathtracer_tpu.materials import bsdf_eval, bsdf_sample, emission
 from pathtracer_tpu.prelude import (

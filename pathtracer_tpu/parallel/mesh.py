@@ -12,7 +12,6 @@ local, the film sum rides ICI).
 from __future__ import annotations
 
 import time
-from functools import partial
 
 import numpy as np
 import jax

@@ -8,8 +8,7 @@ material name -> index map from the MTL file.
 
 from __future__ import annotations
 
-import os
-from typing import Dict, List, NamedTuple, Optional
+from typing import List, NamedTuple, Optional
 
 import numpy as np
 
