@@ -52,7 +52,8 @@ def make_tonemapper(tc):
     raise ValueError(f"unknown tonemapper {tc.kind!r}")
 
 
-def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=None):
+def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=None,
+                          renderer_kind="Naive", tile_size=(32, 32)):
     """Render one [[render_settings]] entry end-to-end."""
     width, height = size or (rs.width, rs.height)
     spp = spp or rs.min_samples
@@ -107,7 +108,17 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
         hwss=rs.hwss,
         wavelength_bounds=rs.wavelength_bounds,
     )
-    if settings.medium_aware:
+    if renderer_kind == "Tiled":
+        # device-tiled scheduling: shards the film over the visible device
+        # mesh and runs the production integrator per shard (tiled.rs parity)
+        from pathtracer_tpu.renderer.tiled import render_tiled
+
+        film, profile, elapsed = render_tiled(
+            bundle.world, camera, settings, width, height, spp,
+            tile_size=tile_size, key=key, sample_chunk=min(8, spp),
+            progress=lambda done, total: log.info("  %d/%d spp", done, total),
+        )
+    elif settings.medium_aware:
         film, profile, elapsed = render_sampled(
             bundle.world, camera, settings, width, height, spp, key=key,
             sample_chunk=min(8, spp),
@@ -166,7 +177,9 @@ def main(argv=None):
         log.info("render_settings[%d]: %s %dx%d @ %d spp (%s)",
                  i, rs.filename, rs.width, rs.height, rs.min_samples, rs.integrator.kind)
         render_settings_entry(bundle, rs, jax.random.fold_in(key, i),
-                              args.output_dir, args.spp, size)
+                              args.output_dir, args.spp, size,
+                              renderer_kind=config.renderer_kind,
+                              tile_size=config.tile_size)
     return 0
 
 

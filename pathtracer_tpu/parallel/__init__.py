@@ -1,7 +1,13 @@
 from pathtracer_tpu.parallel.mesh import (
     make_render_mesh,
     render_chunk_sharded,
+    render_regen_sharded,
     render_sampled_sharded,
 )
 
-__all__ = ["make_render_mesh", "render_chunk_sharded", "render_sampled_sharded"]
+__all__ = [
+    "make_render_mesh",
+    "render_chunk_sharded",
+    "render_regen_sharded",
+    "render_sampled_sharded",
+]

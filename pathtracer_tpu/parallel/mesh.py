@@ -17,7 +17,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API (experimental alias is deprecated)
+    from jax import shard_map
+    _SHARD_MAP_NEW = True
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _SHARD_MAP_NEW = False
+
+
+def _shard_map(fn, mesh, in_specs, out_specs, check=False):
+    if _SHARD_MAP_NEW:
+        return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=check)
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=check)
 
 from pathtracer_tpu.core import sampling
 from pathtracer_tpu.integrator.pt import PTSettings, trace_camera_sample
@@ -68,16 +82,57 @@ def render_chunk_sharded(world, camera, key, settings: PTSettings,
         (film, counters), _ = jax.lax.scan(body, init, jnp.arange(chunk))
         return film, jax.lax.psum(counters, TILE_AXIS)
 
-    fn = shard_map(
+    fn = _shard_map(
         local_chunk,
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(), P(), P()),
         out_specs=(P(TILE_AXIS), P()),
+        check=True,
     )
     pix = jax.device_put(
         jnp.arange(n, dtype=jnp.int32), NamedSharding(mesh, P(TILE_AXIS))
     )
     return jax.jit(fn, static_argnames=())(pix, world, camera, key)
+
+
+def render_regen_sharded(world, camera, settings: PTSettings, width: int,
+                         height: int, min_samples: int, mesh: Mesh, key=None):
+    """Multi-device render using the production sample-regeneration
+    integrator (integrator/pt_regen.py — the fast path): film pixels are
+    sharded over the mesh, each device runs its own regen wavefront to
+    completion, and Profile counters are psum-reduced.
+
+    Returns (film [H,W,3] host-gathered, Profile, elapsed)."""
+    from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = width * height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"film pixels {n} must divide over {n_dev} devices"
+    per = n // n_dev
+
+    def local(world, camera, key):
+        me = jax.lax.axis_index(TILE_AXIS)
+        kd = sampling.fold(key, me)
+        acc, counters = pt_trace_regen(
+            world, camera, settings, width, height, min_samples, kd,
+            start=me * per, batch_n=per,
+        )
+        return acc / float(min_samples), jax.lax.psum(counters, TILE_AXIS)
+
+    fn = jax.jit(_shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P()),
+    ))
+    t0 = time.perf_counter()
+    film, counters = fn(world, camera, key)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    profile = Profile().add_device_counts(counters)
+    return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
 def render_sampled_sharded(world, camera, settings: PTSettings, width: int,

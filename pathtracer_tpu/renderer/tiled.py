@@ -19,8 +19,13 @@ from typing import List, NamedTuple
 import jax
 
 from pathtracer_tpu.integrator.pt import PTSettings
-from pathtracer_tpu.parallel.mesh import make_render_mesh, render_sampled_sharded
+from pathtracer_tpu.parallel.mesh import (
+    make_render_mesh,
+    render_regen_sharded,
+    render_sampled_sharded,
+)
 from pathtracer_tpu.renderer.naive import render_sampled
+from pathtracer_tpu.renderer.persistent import render_regen
 
 
 class Tile(NamedTuple):
@@ -58,10 +63,23 @@ def render_tiled(
     sample_chunk: int = 8,
     progress=None,
 ):
-    """Render with device-tiled scheduling. Falls back to the single-device
-    sample loop when only one device is visible."""
+    """Render with device-tiled scheduling. Surface-only settings run the
+    production sample-regeneration integrator (sharded over the mesh when
+    multiple devices are visible); medium-aware settings run the plain
+    wavefront loop. Falls back to the single-device path when only one
+    device is visible."""
     n_dev = jax.device_count()
-    if n_dev > 1 and (width * height) % n_dev == 0:
+    multi = n_dev > 1 and (width * height) % n_dev == 0
+    if not settings.medium_aware:
+        if multi:
+            mesh = make_render_mesh(n_dev)
+            return render_regen_sharded(
+                world, camera, settings, width, height, min_samples, mesh, key=key,
+            )
+        return render_regen(
+            world, camera, settings, width, height, min_samples, key=key,
+        )
+    if multi:
         mesh = make_render_mesh(n_dev)
         return render_sampled_sharded(
             world, camera, settings, width, height, min_samples, mesh,
