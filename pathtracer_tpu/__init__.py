@@ -14,4 +14,12 @@ Architecture (TPU-first, NOT a port):
   * splatting channel -> scatter-add
 """
 
+import jax as _jax
+
+# Geometry is precision-critical: TPU matmuls default to bf16 inputs, which
+# makes ray->local einsum transforms miss real intersections (measured: ~6%
+# wrong hits on the instanced-gem scene). A renderer has no use for lossy
+# matmuls — force f32 accumulation everywhere in this package's graphs.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 __version__ = "0.1.0"
