@@ -27,21 +27,22 @@ def _traverse(prims: Primitives, bvh: BVH, o, d, t_min, t_max, any_hit: bool,
     inv_d = jnp.where(jnp.abs(d) > 1e-20, 1.0 / jnp.where(jnp.abs(d) > 1e-20, d, 1.0), 1e20)
     zero = o[:, 0] * 0.0 + t_min * 0.0
     state = (
+        jnp.int32(0),  # step counter (malformed-BVH infinite-loop guard)
         zero.astype(jnp.int32),  # node ptr
         zero + jnp.inf,  # t_best
         zero.astype(jnp.int32) - 1,  # id_best
     )
-    steps = max_steps or (2 * m + 8)
+    step_cap = max_steps or (2 * m + 8)
 
     def cond(s):
-        ptr = s[0]
+        ptr = s[1]
         live = ptr < m
         if any_hit:
-            live = live & (s[2] < 0)
-        return jnp.any(live)
+            live = live & (s[3] < 0)
+        return jnp.any(live) & (s[0] < step_cap)
 
     def body(s):
-        ptr, t_best, id_best = s
+        step, ptr, t_best, id_best = s
         ptr_c = jnp.minimum(ptr, m - 1)
         lo = bvh.lo[ptr_c]
         hi = bvh.hi[ptr_c]
@@ -71,9 +72,9 @@ def _traverse(prims: Primitives, bvh: BVH, o, d, t_min, t_max, any_hit: bool,
         descend = box_hit & ~is_leaf
         new_ptr = jnp.where(descend, ptr_c + 1, bvh.exit_idx[ptr_c])
         ptr = jnp.where(live, new_ptr, ptr)
-        return ptr, t_best, id_best
+        return step + 1, ptr, t_best, id_best
 
-    ptr, t_best, id_best = jax.lax.while_loop(cond, body, state)
+    _, ptr, t_best, id_best = jax.lax.while_loop(cond, body, state)
     hit = id_best >= 0
     return t_best, jnp.maximum(id_best, 0), hit
 

@@ -117,8 +117,17 @@ def env_sample_uv(env: Environment, u1, u2):
     row = env.imp_row_cdf[yi]
     xi = jax_searchsorted_rows(row, u2) - 1
     xi = jnp.clip(xi, 0, w - 1)
-    u_imp = (xi.astype(jnp.float32) + 0.5) / w
-    v_imp = (yi.astype(jnp.float32) + 0.5) / h
+    # interpolate within the CDF cell (the reference lerps inside the texel,
+    # src/world/importance_map.rs:325-357) — avoids direction banding from
+    # low-res importance maps returning texel centers
+    m0 = env.imp_marginal_cdf[yi]
+    m1 = env.imp_marginal_cdf[yi + 1]
+    fy = jnp.clip(safe_cdf_frac(u1 - m0, m1 - m0), 0.0, 1.0)
+    r0 = jnp.take_along_axis(row, xi[..., None], axis=-1)[..., 0]
+    r1 = jnp.take_along_axis(row, xi[..., None] + 1, axis=-1)[..., 0]
+    fx = jnp.clip(safe_cdf_frac(u2 - r0, r1 - r0), 0.0, 1.0)
+    u_imp = (xi.astype(jnp.float32) + fx) / w
+    v_imp = (yi.astype(jnp.float32) + fy) / h
     use_imp = (env.kind == ENV_HDR) & env.imp_baked
     uu = jnp.where(use_imp, u_imp, u_uni)
     vv = jnp.where(use_imp, v_imp, v_uni)
@@ -137,6 +146,10 @@ def env_sample_uv(env: Environment, u1, u2):
     d = jnp.where((env.kind == ENV_SUN)[..., None] | jnp.zeros_like(d_world, bool), d_sun, d_world)
     pdf = env_pdf_for(env, d)
     return d, pdf
+
+
+def safe_cdf_frac(num, den):
+    return num / jnp.where(den > 1e-12, den, 1.0) * (den > 1e-12)
 
 
 def jax_searchsorted_rows(rows, u):

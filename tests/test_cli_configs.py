@@ -14,6 +14,8 @@ from pathtracer_tpu.parsing.construct import construct_world
 from pathtracer_tpu.parsing.paths import resolve
 from pathtracer_tpu.tonemap import read_exr
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 CONFIGS = [

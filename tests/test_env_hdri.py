@@ -13,6 +13,8 @@ from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.renderer import render_sampled
 from pathtracer_tpu.world.environment import env_sample_uv, env_emission, env_pdf_for
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 

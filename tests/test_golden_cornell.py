@@ -16,6 +16,8 @@ from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
 from pathtracer_tpu.tonemap import read_exr, Reinhard1, tonemap_to_rgb
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 GOLDEN = "data/golden/cornell_128.exr"
 SEARCH = ["/root/repo", "/root/reference"]
 

@@ -14,6 +14,8 @@ from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
 from pathtracer_tpu.parsing import SceneBuilder
 from pathtracer_tpu.renderer import render_sampled
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 def test_hero_wavelengths_cover_range():
     lam = np.asarray(sample_hero_wavelengths(jax.random.PRNGKey(0), 1000,

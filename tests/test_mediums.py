@@ -6,6 +6,8 @@ from pathtracer_tpu.mediums.hg import hg_phase, hg_sample_cos, hg_sample_directi
 from pathtracer_tpu.mediums.rayleigh import rayleigh_phase, rayleigh_sample_cos
 from pathtracer_tpu.core import vecmath
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 @pytest.mark.parametrize("g", [-0.7, -0.2, 0.0, 0.3, 0.8])
 def test_hg_phase_normalised(g):

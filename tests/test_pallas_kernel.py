@@ -8,6 +8,9 @@ import jax.numpy as jnp
 from pathtracer_tpu.accel.pallas_sweep import pallas_intersect_dense
 from pathtracer_tpu.geometry import intersect_dense
 from pathtracer_tpu.parsing.construct import construct_world
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
 
 SEARCH = ["/root/repo", "/root/reference"]
 

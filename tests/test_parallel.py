@@ -20,6 +20,8 @@ from pathtracer_tpu.parallel import (
 )
 from pathtracer_tpu.renderer.persistent import render_regen
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 

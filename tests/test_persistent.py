@@ -10,6 +10,8 @@ from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
 from pathtracer_tpu.renderer.persistent import render_persistent
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 

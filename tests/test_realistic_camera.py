@@ -10,6 +10,8 @@ from pathtracer_tpu.camera.lens import (
 )
 from pathtracer_tpu.camera.realistic import make_realistic_camera
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SPEC = "/root/reference/data/cameras/petzval_kodak.txt"
 
 

@@ -12,6 +12,8 @@ from pathtracer_tpu.parsing.cameras import build_camera
 from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 SCENES = [

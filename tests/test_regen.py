@@ -11,6 +11,8 @@ from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.renderer.naive import render_sampled
 from pathtracer_tpu.renderer.persistent import render_regen
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 SEARCH = ["/root/repo", "/root/reference"]
 
 

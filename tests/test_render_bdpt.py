@@ -15,6 +15,8 @@ from pathtracer_tpu.parsing import SceneBuilder
 from pathtracer_tpu.renderer import render_sampled
 from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def box_scene():

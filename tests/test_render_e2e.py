@@ -17,6 +17,8 @@ from pathtracer_tpu.materials.diffuse_light import SIDE_REVERSE
 from pathtracer_tpu.parsing import SceneBuilder
 from pathtracer_tpu.renderer import render_sampled
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 def _furnace_world(reflectance=1.0):
     b = SceneBuilder()

@@ -17,6 +17,8 @@ from pathtracer_tpu.parsing import SceneBuilder
 from pathtracer_tpu.renderer import render_sampled
 from pathtracer_tpu.renderer.splatted import render_splatted
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 @pytest.fixture(scope="module")
 def box_scene():

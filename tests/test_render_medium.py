@@ -10,6 +10,8 @@ from pathtracer_tpu.core import spectral
 from pathtracer_tpu.integrator.pt import PTSettings, pt_trace
 from pathtracer_tpu.parsing import SceneBuilder
 
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
 
 def _medium_sphere_world(sigma_s, sigma_a, g=1.0):
     """Near-index-matched sphere boundary (η=1.03, like the reference's

@@ -4,6 +4,9 @@ from pathtracer_tpu.renderer.tiled import generate_tiles
 from pathtracer_tpu.utils.vec2d import Vec2D
 from pathtracer_tpu.utils.logging import setup_logging, warn_once
 from pathtracer_tpu.utils.profile import Profile
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
 
 
 def test_generate_tiles_covers_film():
