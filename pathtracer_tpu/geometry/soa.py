@@ -76,25 +76,44 @@ class HitRecord(NamedTuple):
 
 
 def _t_triangle(pa, pb, pc, o, d, t_min, t_max):
-    """Möller–Trumbore. All args broadcast (ray batch × prim chunk)."""
-    e1 = pb - pa
-    e2 = pc - pa
-    pvec = jnp.cross(d, e2)
-    det = vecmath.dot(e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    tvec = o - pa
-    u = vecmath.dot(tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = vecmath.dot(d, qvec) * inv_det
-    t = vecmath.dot(e2, qvec) * inv_det
-    ok = (
-        (jnp.abs(det) > 1e-12)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < t_max)
-    )
+    """Watertight ray-triangle test (PBRT / reference mesh.rs:67-198 style):
+    translate to ray origin, permute axes so |d| is largest along z, shear
+    into ray space, then signed 2-D edge functions. Adjacent triangles share
+    an edge whose edge function is the exact negation across the pair, so a
+    ray crossing a shared edge hits exactly one of the two (or both when the
+    edge function is exactly zero — boundary-inclusive like the reference's
+    f64 fallback resolution); no leaks at grazing angles.
+    All args broadcast (ray batch × prim chunk)."""
+    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
+    # kz = argmax |d|, kx/ky the cyclic others (winding preserved)
+    kz = jnp.where(ax > ay, jnp.where(ax > az, 0, 2), jnp.where(ay > az, 1, 2))
+    kx = (kz + 1) % 3
+    ky = (kx + 1) % 3
+
+    def comp(v, k):
+        return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+
+    dz = comp(d, kz)
+    inv_dz = 1.0 / jnp.where(jnp.abs(dz) > 1e-30, dz, 1.0)
+    sx = -comp(d, kx) * inv_dz
+    sy = -comp(d, ky) * inv_dz
+
+    def project(v):
+        p = v - o
+        pz = comp(p, kz)
+        return comp(p, kx) + sx * pz, comp(p, ky) + sy * pz, pz * inv_dz
+
+    x0, y0, z0 = project(pa)
+    x1, y1, z1 = project(pb)
+    x2, y2, z2 = project(pc)
+    e0 = x1 * y2 - y1 * x2
+    e1 = x2 * y0 - y2 * x0
+    e2 = x0 * y1 - y0 * x1
+    det = e0 + e1 + e2
+    inside = ~(((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
+    t_scaled = e0 * z0 + e1 * z1 + e2 * z2
+    t = t_scaled / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+    ok = inside & (jnp.abs(det) > 1e-30) & (t > t_min) & (t < t_max)
     return jnp.where(ok, t, jnp.inf)
 
 

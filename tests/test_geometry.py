@@ -124,3 +124,50 @@ def test_sample_surface_on_rect():
     assert np.all(np.abs(p[:, 1]) <= 0.25 + 1e-5)
     assert np.allclose(p[:, 2], 2.0, atol=1e-5)
     assert np.allclose(np.asarray(pdf), 1.0 / 0.5)
+
+
+def test_watertight_shared_edges_no_leak():
+    """Rays aimed exactly at shared mesh edges must hit SOME triangle — the
+    watertight test (soa._t_triangle, reference mesh.rs:67-198) guarantees a
+    crossing ray lands in at least one of the two adjacent triangles."""
+    from pathtracer_tpu.parsing.meshes import load_obj
+
+    mesh = load_obj("/root/reference/data/meshes/brilliant_diamond.obj")[0]
+    v = np.asarray(mesh.vertices, np.float32)
+    f = np.asarray(mesh.indices, np.int32).reshape(-1, 3)
+    tri = v[f]  # [F,3,3]
+    # collect interior (shared) edges
+    edges = {}
+    for fi, (a, b, c) in enumerate(f):
+        for e in [(a, b), (b, c), (c, a)]:
+            k = (min(e), max(e))
+            edges.setdefault(k, []).append(fi)
+    shared = [k for k, fs in edges.items() if len(fs) == 2]
+    assert len(shared) > 50
+    rng = np.random.default_rng(7)
+    targets = []
+    for a, b in shared:
+        w = rng.uniform(0.25, 0.75)
+        targets.append(v[a] * w + v[b] * (1.0 - w))
+    targets = np.asarray(targets, np.float32)
+    m = len(targets)
+    # grazing-ish origins from random far points
+    dirs = rng.normal(size=(m, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = targets - 10.0 * dirs
+
+    n_tri = len(f)
+    prims = _make_prims(
+        [PRIM_TRIANGLE] * n_tri, tri[:, 0], tri[:, 1], tri[:, 2],
+        np.ones(n_tri, np.float32),
+    )
+    hr = intersect_dense(
+        prims, jnp.asarray(origins), jnp.asarray(dirs),
+        jnp.zeros(m), jnp.full(m, 1e9),
+    )
+    hit = np.asarray(hr.hit)
+    t = np.asarray(hr.t)
+    # every edge-targeted ray must hit, and the nearest hit can't be *behind*
+    # the targeted point (leaking through the front edge to the back face)
+    assert hit.all(), f"{(~hit).sum()}/{m} edge rays leaked through the mesh"
+    assert np.all(t <= 10.0 + 1e-3), "ray passed through the front surface"
