@@ -29,9 +29,14 @@ def _surface_area(lo, hi):
     return 2.0 * (d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0])
 
 
-def build_sah_bvh(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = 4):
+def build_sah_bvh(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = 4,
+                  singleton_mask: np.ndarray | None = None):
     """Returns (nodes: List[BuildNode], prim_order: int array). Node 0 is the
-    root; children indices reference the node list."""
+    root; children indices reference the node list.
+
+    `singleton_mask`: optional bool[n] — shapes that must land in their own
+    single-shape leaf (TLAS instance entries: the two-level traversal enters
+    a BLAS per leaf, so an instance cannot share a leaf with other shapes)."""
     n = len(aabb_lo)
     centroids = (aabb_lo + aabb_hi) * 0.5
     order = np.arange(n)
@@ -46,7 +51,11 @@ def build_sah_bvh(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = 4):
     def recurse(idx: np.ndarray) -> int:
         lo = aabb_lo[idx].min(axis=0)
         hi = aabb_hi[idx].max(axis=0)
-        if len(idx) <= leaf_size:
+        if len(idx) <= leaf_size and (
+            len(idx) == 1
+            or singleton_mask is None
+            or not singleton_mask[idx].any()
+        ):
             first = len(prim_order)
             prim_order.extend(idx.tolist())
             return emit(lo, hi, -1, -1, first, len(idx))

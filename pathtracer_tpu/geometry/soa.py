@@ -274,18 +274,24 @@ def intersect_any_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None)
     return blocked
 
 
-def _fill_attributes(prims: Primitives, o, d, t, pid, hit) -> HitRecord:
-    """Recompute full hit attributes for the single winning primitive."""
+def _fill_attributes(prims: Primitives, o, d, t, pid, hit,
+                     m_fwd=None, m_inv=None) -> HitRecord:
+    """Recompute full hit attributes for the single winning primitive.
+
+    `m_fwd`/`m_inv`: optional per-ray [N,4,4] transform overrides (the
+    two-level accelerator passes the winning instance's transform here;
+    see accel/two_level.py)."""
     pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
     na, nb, nc = prims.na[pid], prims.nb[pid], prims.nc[pid]
     ptype = prims.ptype[pid]
-    identity_only = prims.xf_inv.shape[0] == 1
+    identity_only = m_fwd is None and prims.xf_inv.shape[0] == 1
     if identity_only:
         o_l, d_l = o, d
     else:
-        tid = prims.transform_id[pid]
-        m_fwd = prims.xf_fwd[tid]
-        m_inv = prims.xf_inv[tid]
+        if m_fwd is None:
+            tid = prims.transform_id[pid]
+            m_fwd = prims.xf_fwd[tid]
+            m_inv = prims.xf_inv[tid]
         o_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], o) + m_inv[:, :3, 3]
         d_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], d)
     p_l = o_l + t[..., None] * d_l

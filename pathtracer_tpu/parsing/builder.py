@@ -77,6 +77,9 @@ class SceneBuilder:
         self._next_instance = 0
         self.camera_surfaces: List[int] = []  # prim ids tagged Camera
         self.transforms: List[np.ndarray] = [np.eye(4)]  # id 0 = identity
+        self._mesh_defs: dict = {}  # mesh_key -> geometry def (shared)
+        self.mesh_instances: List[dict] = []  # deferred; resolved in build()
+        self.force_instancing = False  # route even single instances via BLAS
 
     # ------------------------------------------------------------- curves
 
@@ -311,24 +314,56 @@ class SceneBuilder:
         material_ids,
         transform: Optional[np.ndarray] = None,
         kind=None,
+        mesh_key=None,
+        material_override: Optional[int] = None,
     ) -> int:
-        """Triangle mesh, pre-transformed to world space (reference keeps a
-        per-mesh BLAS, src/geometry/mesh.rs:283-304; here triangles join the
-        global SoA and the accelerator handles them uniformly).
-        material_ids: int or per-triangle array."""
-        v = np.asarray(vertices, np.float64)
-        idx = np.asarray(indices, np.int64).reshape(-1, 3)
-        if transform is not None:
+        """Triangle-mesh instance. Processing is deferred to build():
+        meshes instanced more than once (sharing `mesh_key`, non-emissive)
+        keep their triangles ONCE in local space under a shared per-mesh
+        BLAS + instance transforms (reference two-level scheme,
+        src/geometry/mesh.rs:283-304 + src/accelerator/mod.rs); single or
+        emissive instances are baked to world-space rows (joining the light
+        list like src/world/mod.rs:42-66).
+
+        material_ids: per-face world material ids (or a scalar).
+        material_override: instance-level material replacing per-face ids
+        (instances.material_name in scene TOMLs)."""
+        iid = self._new_instance()
+        mat_arr = np.asarray(material_ids, np.int64)
+        if mesh_key is None:
+            mesh_key = ("anon", id(vertices), id(indices), mat_arr.tobytes())
+        else:
+            mesh_key = (mesh_key, mat_arr.tobytes())
+        if mesh_key not in self._mesh_defs:
+            self._mesh_defs[mesh_key] = dict(
+                vertices=np.asarray(vertices, np.float64),
+                indices=np.asarray(indices, np.int64).reshape(-1, 3),
+                normals=(np.asarray(normals, np.float64)
+                         if normals is not None and len(normals) else None),
+                mat_ids=mat_arr,
+            )
+        self.mesh_instances.append(
+            dict(key=mesh_key, transform=transform, kind=kind, iid=iid,
+                 override=material_override)
+        )
+        return iid
+
+    def _expand_mesh_rows(self, df: dict, mat_arr, transform, kind, iid,
+                          out: Optional[list] = None, local: bool = False):
+        """Emit _Prim triangle rows for one mesh def. `local=True` keeps
+        vertices in mesh-local space (shared-BLAS path); otherwise rows are
+        baked into world space via `transform`."""
+        v = df["vertices"]
+        idx = df["indices"]
+        vn = df["normals"]
+        if not local and transform is not None:
             v = v @ np.asarray(transform)[:3, :3].T + np.asarray(transform)[:3, 3]
-        vn = None
-        if normals is not None and len(normals):
-            vn = np.asarray(normals, np.float64)
-            if transform is not None:
+            if vn is not None:
                 inv_t = np.linalg.inv(np.asarray(transform))[:3, :3].T
                 vn = vn @ inv_t.T
-                vn /= np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
-        mat_arr = np.broadcast_to(np.asarray(material_ids, np.int64), (len(idx),))
-        iid = self._new_instance()
+                vn = vn / np.maximum(np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+        mat_arr = np.broadcast_to(np.asarray(mat_arr, np.int64), (len(idx),))
+        rows = self.prims if out is None else out
         for t in range(len(idx)):
             i0, i1, i2 = idx[t]
             p0, p1, p2 = v[i0], v[i1], v[i2]
@@ -344,7 +379,7 @@ class SceneBuilder:
             lo = np.minimum(np.minimum(p0, p1), p2) - 1e-5
             hi = np.maximum(np.maximum(p0, p1), p2) + 1e-5
             m = int(mat_arr[t])
-            self.prims.append(
+            rows.append(
                 _Prim(
                     PRIM_TRIANGLE,
                     p0.astype(np.float32),
@@ -362,7 +397,7 @@ class SceneBuilder:
                     hi.astype(np.float32),
                 )
             )
-        return iid
+        return rows
 
     # ---------------------------------------------------------------- env
 
@@ -371,6 +406,70 @@ class SceneBuilder:
 
     # -------------------------------------------------------------- build
 
+    def _resolve_mesh_instances(self):
+        """Decide bake vs shared-BLAS per mesh group; emit baked world rows
+        into self.prims; return (blas_meshes, blas_instances) with local
+        rows appended AFTER all world rows (their global row ids follow)."""
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for mi in self.mesh_instances:
+            groups[mi["key"]].append(mi)
+
+        def eff_emissive(df, mi):
+            if mi["override"] is not None:
+                return self._mat_kind(int(mi["override"]), mi["kind"]) == 1
+            if mi["kind"] is not None:
+                return mi["kind"] == 1
+            mats = np.unique(np.broadcast_to(df["mat_ids"], (len(df["indices"]),)))
+            return any(self._mat_kind(int(m), None) == 1 for m in mats)
+
+        shared_groups = []
+        for key, insts in groups.items():
+            df = self._mesh_defs[key]
+            bake_list, inst_list = [], []
+            for mi in insts:
+                (bake_list if eff_emissive(df, mi) else inst_list).append(mi)
+            if len(inst_list) >= 2 or (self.force_instancing and inst_list):
+                shared_groups.append((key, inst_list))
+            else:
+                bake_list.extend(inst_list)
+            for mi in bake_list:
+                mats = mi["override"] if mi["override"] is not None else df["mat_ids"]
+                self._expand_mesh_rows(df, mats, mi["transform"], mi["kind"], mi["iid"])
+
+        # world rows are final now; local-space shared-mesh rows follow
+        blas_meshes, blas_instances = [], []
+        for mesh_i, (key, insts) in enumerate(shared_groups):
+            df = self._mesh_defs[key]
+            row_start = len(self.prims)
+            local_rows = self._expand_mesh_rows(
+                df, df["mat_ids"], None, None, -1, out=[], local=True
+            )
+            self.prims.extend(local_rows)
+            lo = np.stack([r.aabb_lo for r in local_rows])
+            hi = np.stack([r.aabb_hi for r in local_rows])
+            blas_meshes.append(dict(row_start=row_start, aabb_lo=lo, aabb_hi=hi))
+            mesh_lo, mesh_hi = lo.min(axis=0), hi.max(axis=0)
+            for mi in insts:
+                xf = (np.asarray(mi["transform"], np.float64)
+                      if mi["transform"] is not None else np.eye(4))
+                wlo, whi = transform_aabb(xf, mesh_lo, mesh_hi)
+                ovr = mi["override"]
+                blas_instances.append(
+                    dict(
+                        mesh=mesh_i,
+                        xf_fwd=xf,
+                        mat_override=-1 if ovr is None else int(ovr),
+                        kind_override=(-1 if ovr is None
+                                       else self._mat_kind(int(ovr), mi["kind"])),
+                        gid=mi["iid"],
+                        world_lo=wlo,
+                        world_hi=whi,
+                    )
+                )
+        return blas_meshes, blas_instances
+
     def build(self) -> World:
         if self.env is None:
             zero = self.add_curve(spectral.FlatCurve(0.0), name="__black__")
@@ -378,6 +477,10 @@ class SceneBuilder:
         # ensure at least one texture layer exists (dummy)
         if not self.tex_ranges:
             self.add_texture([(np.ones((1, 1), np.float32), 0)], name="__white__")
+
+        blas_meshes, blas_instances = self._resolve_mesh_instances()
+        self.mesh_instances = []  # consumed
+        n_world_rows = (len(self.prims) - sum(len(m["aabb_lo"]) for m in blas_meshes))
 
         bank = spectral.bake_curves(self.curves)
 
@@ -476,26 +579,53 @@ class SceneBuilder:
         )
 
         # light list (reference collects instances with MaterialId::Light,
-        # including per-triangle mesh lights, src/world/mod.rs:42-66)
-        light_ids = [i for i, x in enumerate(self.prims) if x.mat_kind == 1]
+        # including per-triangle mesh lights, src/world/mod.rs:42-66);
+        # shared-BLAS local rows are non-emissive by construction and are
+        # excluded (emissive mesh instances are always baked to world rows)
+        light_ids = [
+            i for i, x in enumerate(self.prims[:n_world_rows]) if x.mat_kind == 1
+        ]
         n_lights = len(light_ids)
         lpad = max(1, n_lights)
         lights = np.zeros(lpad, np.int32)
         lights[:n_lights] = light_ids
 
-        lo = np.min(np.stack([x.aabb_lo for x in self.prims]), axis=0)
-        hi = np.max(np.stack([x.aabb_hi for x in self.prims]), axis=0)
+        bound_lo = [x.aabb_lo for x in self.prims[:n_world_rows]]
+        bound_hi = [x.aabb_hi for x in self.prims[:n_world_rows]]
+        bound_lo += [i["world_lo"] for i in blas_instances]
+        bound_hi += [i["world_hi"] for i in blas_instances]
+        lo = np.min(np.stack(bound_lo), axis=0)
+        hi = np.max(np.stack(bound_hi), axis=0)
         center = (lo + hi) / 2.0
         radius = float(np.linalg.norm(hi - center))
 
-        # stackless SAH BVH over ALL primitives (world BVH; per-mesh BLASes
-        # are flattened into it — single-level is the TPU-friendly layout)
         from pathtracer_tpu.accel import build_bvh_arrays
 
-        bvh = build_bvh_arrays(
-            np.stack([x.aabb_lo for x in self.prims]),
-            np.stack([x.aabb_hi for x in self.prims]),
-        )
+        if blas_instances:
+            # two-level: TLAS over world rows + instance AABBs; shared
+            # per-mesh BLASes over the local rows (accel/two_level.py)
+            from pathtracer_tpu.accel.two_level import build_two_level
+
+            accel2 = build_two_level(
+                np.stack([x.aabb_lo for x in self.prims[:n_world_rows]])
+                if n_world_rows else np.zeros((0, 3), np.float32),
+                np.stack([x.aabb_hi for x in self.prims[:n_world_rows]])
+                if n_world_rows else np.zeros((0, 3), np.float32),
+                blas_meshes,
+                blas_instances,
+            )
+            # legacy single-level BVH unused on this path; build a minimal
+            # placeholder to keep the World pytree layout uniform
+            bvh = build_bvh_arrays(
+                np.zeros((1, 3), np.float32), np.ones((1, 3), np.float32)
+            )
+        else:
+            accel2 = None
+            # stackless SAH BVH over ALL primitives (single-level world BVH)
+            bvh = build_bvh_arrays(
+                np.stack([x.aabb_lo for x in self.prims]),
+                np.stack([x.aabb_hi for x in self.prims]),
+            )
 
         return World(
             prims=prims,
@@ -510,4 +640,5 @@ class SceneBuilder:
             center=jnp.asarray(center, jnp.float32),
             radius=jnp.float32(max(radius, 1.0)),
             bvh=bvh,
+            accel2=accel2,
         )

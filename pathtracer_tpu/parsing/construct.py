@@ -233,6 +233,7 @@ def construct_world(
     _build_environment(b, r, env_data, cache_dir)
 
     # ------------------------------------------------------- instances
+    obj_cache = {}
     for inst in scene.get("instances", []):
         agg = inst["aggregate"]
         typ = agg["type"]
@@ -264,7 +265,8 @@ def construct_world(
             normal_ax, _, _ = _AXES[agg.get("normal", "Z")]
             b.add_disk(agg.get("origin", [0, 0, 0]), normal_ax, float(agg["radius"]), mid, transform_id=tid)
         elif typ == "Mesh":
-            _build_mesh_instance(b, r, libs, agg, mat_name, inst, search_paths)
+            _build_mesh_instance(b, r, libs, agg, mat_name, inst, search_paths,
+                                 obj_cache=obj_cache)
         else:
             raise ValueError(f"unknown aggregate type {typ!r}")
 
@@ -277,33 +279,44 @@ def construct_world(
     return SceneBundle(world=world, cameras=cameras, builder=b)
 
 
-def _build_mesh_instance(b, r, libs, agg, mat_name, inst, search_paths):
+def _build_mesh_instance(b, r, libs, agg, mat_name, inst, search_paths,
+                         obj_cache=None):
     mesh_entry = libs["meshes"][agg["name"]]
     path = resolve(mesh_entry["filename"], search_paths)
     mesh_index = mesh_entry.get("mesh_index")
-    meshes = load_obj(path, mesh_index)
+    cache_key = (path, mesh_index)
+    if obj_cache is not None and cache_key in obj_cache:
+        meshes = obj_cache[cache_key]
+    else:
+        meshes = load_obj(path, mesh_index)
+        if obj_cache is not None:
+            obj_cache[cache_key] = meshes
     transform = None
     if "transform" in inst:
         t = inst["transform"]
         rotations = [(rot["axis"], rot["angle"]) for rot in t.get("rotate", [])]
         transform = from_stack(t.get("scale"), rotations, t.get("translate"))
-    for mesh in meshes:
-        if mat_name:
-            mat_ids = r.material(mat_name)
+    for sub_i, mesh in enumerate(meshes):
+        # per-face OBJ material names -> world ids; unknown -> 0 (mauve)
+        name_map = []
+        for nm in mesh.material_names:
+            try:
+                name_map.append(r.material(nm))
+            except KeyError:
+                name_map.append(0)
+        if name_map:
+            lut = np.asarray(name_map + [0], np.int64)
+            mat_ids = lut[np.where(mesh.face_materials >= 0, mesh.face_materials, len(name_map))]
         else:
-            # remap OBJ material names to world ids; unknown -> 0 (mauve)
-            name_map = []
-            for nm in mesh.material_names:
-                try:
-                    name_map.append(r.material(nm))
-                except KeyError:
-                    name_map.append(0)
-            if name_map:
-                lut = np.asarray(name_map + [0], np.int64)
-                mat_ids = lut[np.where(mesh.face_materials >= 0, mesh.face_materials, len(name_map))]
-            else:
-                mat_ids = 0
-        b.add_mesh(mesh.vertices, mesh.indices, mesh.normals, mat_ids, transform=transform)
+            mat_ids = 0
+        override = r.material(mat_name) if mat_name else None
+        # mesh_key lets repeated instances of one OBJ share a BLAS
+        # (builder decides bake-vs-instance; see SceneBuilder.add_mesh)
+        b.add_mesh(
+            mesh.vertices, mesh.indices, mesh.normals, mat_ids,
+            transform=transform, mesh_key=(path, mesh_index, sub_i),
+            material_override=override,
+        )
 
 
 def _build_environment(b: SceneBuilder, r: _Resolver, env: dict, cache_dir: str):

@@ -7,12 +7,17 @@ NamedTuple so the whole scene rides through jit/shard_map as arrays.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
 from pathtracer_tpu.accel.flatten import BVH
 from pathtracer_tpu.accel.traverse import intersect_any_bvh, intersect_bvh
+from pathtracer_tpu.accel.two_level import (
+    TwoLevel,
+    intersect_any_two_level,
+    intersect_two_level,
+)
 from pathtracer_tpu.core.spectral import CurveBank
 from pathtracer_tpu.geometry import Primitives, intersect_any_dense, intersect_dense
 from pathtracer_tpu.materials import Materials
@@ -37,18 +42,24 @@ class World(NamedTuple):
     env_sampling_probability: jnp.ndarray  # f32
     center: jnp.ndarray  # f32[3] scene bound center
     radius: jnp.ndarray  # f32 scene bound radius
-    bvh: BVH  # stackless accelerator (accel/)
+    bvh: BVH  # stackless accelerator (accel/); unused when accel2 is set
+    accel2: Optional[TwoLevel] = None  # TLAS/BLAS for instanced-mesh scenes
 
     def intersect(self, o, d, t_min, t_max):
         """Closest-hit dispatch (Accelerator::hit equivalent,
-        src/accelerator/mod.rs:86-178): dense sweep for small scenes,
-        stackless BVH traversal for large ones — chosen statically by the
-        primitive-array shape, so each compiled render uses exactly one."""
+        src/accelerator/mod.rs:86-178): two-level TLAS/BLAS when the scene
+        has shared mesh instances, dense sweep for small scenes, stackless
+        single-level BVH otherwise — chosen statically by pytree structure /
+        array shape, so each compiled render uses exactly one."""
+        if self.accel2 is not None:
+            return intersect_two_level(self.prims, self.accel2, o, d, t_min, t_max)
         if self.prims.count <= DENSE_MAX_PRIMS:
             return intersect_dense(self.prims, o, d, t_min, t_max)
         return intersect_bvh(self.prims, self.bvh, o, d, t_min, t_max)
 
     def intersect_any(self, o, d, t_min, t_max):
+        if self.accel2 is not None:
+            return intersect_any_two_level(self.prims, self.accel2, o, d, t_min, t_max)
         if self.prims.count <= DENSE_MAX_PRIMS:
             return intersect_any_dense(self.prims, o, d, t_min, t_max)
         return intersect_any_bvh(self.prims, self.bvh, o, d, t_min, t_max)

@@ -168,3 +168,107 @@ def test_native_builder_matches_python():
     assert np.array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
     hitm = np.asarray(h1.hit)
     assert np.allclose(np.asarray(h1.t)[hitm], np.asarray(h2.t)[hitm], rtol=1e-4)
+
+
+# ----------------------------------------------------- two-level TLAS/BLAS
+
+
+def _gem_world(instanced: bool):
+    """Three instances of the gem mesh (identity / translate / non-uniform
+    scale+rotate) + a floor rect + a light. instanced=True routes them
+    through the shared-BLAS two-level path; False bakes each to world space
+    (distinct mesh keys)."""
+    from pathtracer_tpu.core.transform import from_stack
+
+    mesh = load_obj(resolve("data/meshes/gem.obj", ["/root/reference"]))[0]
+    b = SceneBuilder()
+    b.force_instancing = instanced
+    white = b.add_curve(spectral.FlatCurve(0.7), name="w")
+    emit = b.add_curve(spectral.BlackbodyCurve(5500.0, 10.0), name="e")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="t")
+    mw = b.add_lambertian(tw, name="m")
+    m2 = b.add_lambertian(tw, name="m2")
+    ml = b.add_diffuse_light(emit, white, 2, name="ml")
+    xf1 = from_stack(None, [], [2.0, 0.0, 0.0])
+    xf2 = from_stack([0.6, 1.3, 0.9], [([0.0, 0.0, 1.0], 35.0)], [-1.5, 0.4, 0.2])
+    for i, (xf, ovr) in enumerate([(None, mw), (xf1, m2), (xf2, mw)]):
+        b.add_mesh(
+            mesh.vertices, mesh.indices, mesh.normals, 0,
+            transform=xf,
+            mesh_key="gem" if instanced else f"gem{i}",
+            material_override=ovr,
+        )
+    b.add_rect([0.0, 0.0, -2.0], [6.0, 0, 0], [0, 6.0, 0], mw)
+    b.add_rect([0.0, 0.0, 4.0], [1.0, 0, 0], [0, 1.0, 0], ml)
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="z")
+    b.set_environment_constant(zero, 0.0)
+    return b.build()
+
+
+def _gem_rays(n=512, seed=3):
+    rng = np.random.default_rng(seed)
+    # rays converging on the instance cluster from a shell
+    targets = np.concatenate([
+        rng.uniform(-0.8, 0.8, size=(n // 2, 3)),
+        rng.uniform(-2.2, 2.8, size=(n - n // 2, 3)) * np.array([1, 0.4, 0.4]),
+    ])
+    dirs = rng.normal(size=(n, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    origins = targets - 6.0 * dirs
+    return jnp.asarray(origins, jnp.float32), jnp.asarray(dirs, jnp.float32)
+
+
+def test_two_level_parity_with_baked():
+    w_inst = _gem_world(True)
+    w_bake = _gem_world(False)
+    assert w_inst.accel2 is not None
+    assert w_bake.accel2 is None
+    # shared BLAS memory: one copy of the gem triangles, not three
+    n_gem = 64
+    assert w_inst.prims.count < w_bake.prims.count - n_gem
+    o, d = _gem_rays()
+    n = o.shape[0]
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e9)
+    h1 = w_inst.intersect(o, d, tmin, tmax)
+    h2 = w_bake.intersect(o, d, tmin, tmax)
+    assert np.array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    hit = np.asarray(h1.hit)
+    np.testing.assert_allclose(
+        np.asarray(h1.t)[hit], np.asarray(h2.t)[hit], rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(h1.point)[hit], np.asarray(h2.point)[hit], rtol=1e-3, atol=2e-4
+    )
+    # normals must match incl. the inverse-transpose of the non-uniform xf
+    nd = np.abs(np.asarray(h1.normal) - np.asarray(h2.normal))[hit]
+    assert nd.max() < 2e-3
+    assert np.array_equal(np.asarray(h1.material_id)[hit], np.asarray(h2.material_id)[hit])
+    assert np.array_equal(np.asarray(h1.mat_kind)[hit], np.asarray(h2.mat_kind)[hit])
+    # occlusion parity
+    a1 = np.asarray(w_inst.intersect_any(o, d, tmin, jnp.full(n, 5.0)))
+    a2 = np.asarray(w_bake.intersect_any(o, d, tmin, jnp.full(n, 5.0)))
+    assert np.array_equal(a1, a2)
+
+
+def test_two_level_render_equivalence():
+    """Same RNG + identical intersections => the instanced and baked gem
+    worlds must render (near-)identical films through the full PT path."""
+    from pathtracer_tpu.camera import make_projective_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.renderer.naive import render_sampled
+
+    cam = make_projective_camera(
+        look_from=[0.0, -7.0, 1.5], look_at=[0.0, 0.0, 0.0], vfov_degrees=35.0,
+        focal_distance=7.0, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    settings = PTSettings(max_bounces=3, min_bounces=1, light_samples=1)
+    films = []
+    for instanced in (True, False):
+        world = _gem_world(instanced)
+        film, _, _ = render_sampled(world, cam, settings, 24, 24, min_samples=2)
+        films.append(np.asarray(film))
+    assert np.isfinite(films[0]).all()
+    assert films[0].mean() > 0.0
+    np.testing.assert_allclose(films[0], films[1], rtol=2e-3, atol=2e-4)
