@@ -39,6 +39,7 @@ from pathtracer_tpu.prelude import (
     safe_div,
 )
 from pathtracer_tpu.utils import profile as prof
+from pathtracer_tpu.world.environment import env_emission, env_sample_uv
 from pathtracer_tpu.world.world import World
 
 
@@ -130,21 +131,63 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
     n = n_paths
     wb = settings.wavelength_bounds
     k_init, k_walk = jax.random.split(key)
-    u0 = jax.random.uniform(k_init, (n, 8))
+    u0 = jax.random.uniform(k_init, (n, 9))
 
-    # ---- emission sampling (lt.rs:106-158)
+    # ---- emission source pick: instance light vs environment by
+    # env_sampling_probability (lt.rs:106-158 `choose`)
+    p_env = world.env_sampling_probability
+    pick_env = u0[:, 8] < p_env
+
+    # ---- instance-light branch
     light_prim, pick_pdf = world.pick_random_light(u0[:, 0])
-    lp, ln, area_pdf = sample_surface(world.prims, light_prim, u0[:, 1], u0[:, 2])
+    lp_i, ln, area_pdf = sample_surface(world.prims, light_prim, u0[:, 1], u0[:, 2])
     mat_id = world.prims.material_id[light_prim]
-    lam, power, lam_pdf = sample_emission_spectrum(world.mats, world.bank, mat_id, u0[:, 3], wb)
-    d0, dir_pdf, cos0 = _sample_emission_direction(world, mat_id, ln, u0[:, 4], u0[:, 5], u0[:, 6])
+    lam_i, power, lam_pdf = sample_emission_spectrum(world.mats, world.bank, mat_id, u0[:, 3], wb)
+    d0_i, dir_pdf, cos0 = _sample_emission_direction(world, mat_id, ln, u0[:, 4], u0[:, 5], u0[:, 6])
     # emitted radiance toward d0 (sidedness gate folded into emission())
-    le = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), vecmath.dot(ln, d0))
-    # particle weight: Le·cos/(p_pick·p_A·p_ω·p_λ)
-    beta = safe_div(le * cos0, pick_pdf * area_pdf * dir_pdf * lam_pdf)
+    le = emission(world.mats, world.bank, mat_id, lam_i, jnp.zeros((n, 2)), vecmath.dot(ln, d0_i))
+    # particle weight: Le·cos/(p_branch·p_pick·p_A·p_ω·p_λ)
+    beta_i = safe_div(
+        le * cos0, jnp.maximum(1.0 - p_env, 1e-6) * pick_pdf * area_pdf * dir_pdf * lam_pdf
+    )
+    alive_i = (beta_i > 0.0) & (world.n_lights > 0)
+
+    # ---- environment branch (environment.sample_emission,
+    # src/world/environment.rs:100-196): direction from the importance map /
+    # uniform sphere, position on the world-bounds disk facing inward, λ
+    # uniform over the bounds (per-nm pdf 1/span)
+    d_out, dir_pdf_env = env_sample_uv(world.env, u0[:, 1], u0[:, 2])
+    lam_e = wb.sample(u0[:, 3])
+    lam_pdf_e = 1.0 / wb.span
+    le_env = env_emission(world.env, world.bank, world.tex, d_out, lam_e)
+    radius = world.radius
+    t_ax, b_ax = vecmath.orthonormal_basis(d_out)
+    disk = sampling.random_in_unit_disk(u0[:, 4], u0[:, 5]) * radius
+    lp_e = (
+        world.center
+        + d_out * radius
+        + disk[..., 0:1] * t_ax
+        + disk[..., 1:2] * b_ax
+    )
+    # particle flux: L·πR²/(p_env·p_ω·p_λ)  (pos pdf 1/(πR²) divided out —
+    # the reference omits the disk-area factor, which its own dormant LT env
+    # path never exercised; with it LT matches PT, see tests/test_render_lt.py)
+    pos_pdf = 1.0 / (jnp.pi * radius * radius)
+    beta_e = safe_div(le_env, p_env * dir_pdf_env * pos_pdf * lam_pdf_e)
+    alive_e = beta_e > 0.0
+
+    # ---- merge branches
+    lam = jnp.where(pick_env, lam_e, lam_i)
+    lp = jnp.where(pick_env[..., None], lp_e, lp_i)
+    d0 = jnp.where(pick_env[..., None], -d_out, d0_i)
+    beta = jnp.where(pick_env, beta_e, beta_i)
     beta = jnp.where(jnp.isfinite(beta) & (beta > 0.0), beta, 0.0)
-    alive = (beta > 0.0) & (world.n_lights > 0)
-    o = lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None]
+    alive = jnp.where(pick_env, alive_e, alive_i) & (beta > 0.0)
+    o = jnp.where(
+        pick_env[..., None],
+        lp,
+        lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None],
+    )
     d = d0
 
     film = jnp.zeros((width * height, 3), jnp.float32)
@@ -159,23 +202,27 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         xyz = cie.wavelength_to_xyz(lam, jnp.where(valid, energy, 0.0))
         return film.at[jnp.where(valid, pid, 0)].add(jnp.where(valid[..., None], xyz, 0.0))
 
-    # connect the light vertex itself to the camera (s=1 paths)
-    le_cam = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), jnp.ones((n,)))
-
+    # connect the light vertex itself to the camera (s=1 paths; instance
+    # particles only — a direct env→lens connection needs the env radiance
+    # toward the lens, which is the s=0/proxy-hit strategy, not this one)
     def light_vertex_connect(film, counters, key_c):
         uc = jax.random.uniform(key_c, (n, 2))
         # emission toward the camera requires the actual cosine; compute dir first
         lens_pt = camera.origin
-        to_cam = lens_pt - lp
+        to_cam = lens_pt - lp_i
         dir_c = vecmath.normalize(to_cam)
         cos_lc = vecmath.dot(ln, dir_c)
-        le_c = emission(world.mats, world.bank, mat_id, lam, jnp.zeros((n, 2)), cos_lc)
+        le_c = emission(world.mats, world.bank, mat_id, lam_i, jnp.zeros((n, 2)), cos_lc)
         fu, fv, energy, valid, counters = _connect_to_camera(
-            world, camera, lp, ln,
-            safe_div(le_c * jnp.abs(cos_lc), pick_pdf * area_pdf * lam_pdf),
-            lam, uc, counters,
+            world, camera, lp_i, ln,
+            safe_div(
+                le_c * jnp.abs(cos_lc),
+                jnp.maximum(1.0 - p_env, 1e-6) * pick_pdf * area_pdf * lam_pdf,
+            ),
+            lam_i, uc, counters,
         )
-        return splat(film, fu, fv, energy, valid, lam), counters
+        valid = valid & ~pick_env & (world.n_lights > 0)
+        return splat(film, fu, fv, energy, valid, lam_i), counters
 
     film, counters = light_vertex_connect(film, counters, sampling.fold(k_walk, 999))
 

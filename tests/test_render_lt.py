@@ -83,3 +83,48 @@ def test_lt_film_structure(box_scene):
     # light is at the top of the box -> upper image rows contain the bright
     # emitter region seen by the camera
     assert y.max() > 2.0 * max(y.mean(), 1e-9)
+
+
+@pytest.fixture(scope="module")
+def env_sphere_scene():
+    """Environment-lit sphere: exercises the LT environment emission branch
+    (reference lt.rs:106-158 env case + environment.sample_emission)."""
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.6), name="white")
+    envc = b.add_curve(spectral.FlatCurve(2.0), name="envc")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    mw = b.add_lambertian(tw, name="mw")
+    b.add_sphere([0.0, 0.0, 0.0], 1.0, mw)
+    b.set_environment_constant(envc, 1.0)
+    b.env_sampling_probability = 1.0
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[-3.0, 0.0, 0.0], look_at=[0.0, 0.0, 0.0], vfov_degrees=30.0,
+        focal_distance=3.0, aperture_diameter=0.0, aspect_ratio=1.0,
+    )
+    return world, cam
+
+
+def test_lt_env_emission_matches_pt(env_sphere_scene):
+    """Env-lit scenes must NOT be black under LT (round-1 gap: the env
+    emission branch was missing) and must agree with PT on the sphere."""
+    world, cam = env_sphere_scene
+    res = 16
+    pt_film, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=128, key=jax.random.PRNGKey(3), sample_chunk=32,
+    )
+    lt_film, profile, _ = render_splatted(
+        world, cam, LTSettings(max_bounces=4, min_bounces=4, camera_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=1500, key=jax.random.PRNGKey(4),
+    )
+    # compare only the sphere-covered crop: LT has no direct env→lens
+    # strategy, so background pixels carry env radiance only under PT
+    c0, c1 = res // 2 - 3, res // 2 + 3
+    pt_y = float(np.asarray(pt_film[c0:c1, c0:c1, 1]).mean())
+    lt_y = float(np.asarray(lt_film[c0:c1, c0:c1, 1]).mean())
+    assert lt_y > 0.0, "LT env-lit render is black"
+    assert abs(lt_y - pt_y) / pt_y < 0.15, (pt_y, lt_y)
