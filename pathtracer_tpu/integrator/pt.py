@@ -67,6 +67,32 @@ class PTSettings:
 
 
 HWSS_LANES = 4
+MEDIUM_STACK_K = 4  # tracked-medium stack depth (utils.rs keeps a sorted vec)
+
+
+def _stack_push(stack, med_id, do):
+    """Insert med_id into the first empty (0) slot of each ray's medium
+    stack where `do` (bounded-depth analogue of tracked_mediums.push,
+    utils.rs:975-977). Full stacks drop the push (depth-K limit)."""
+    empty = stack == 0
+    first = jnp.argmax(empty, axis=-1)
+    can = jnp.any(empty, axis=-1) & do & (med_id != 0)
+    onehot = (
+        jnp.arange(stack.shape[-1], dtype=jnp.int32)[None, :] == first[:, None]
+    ) & can[:, None]
+    return jnp.where(onehot, med_id[:, None], stack)
+
+
+def _stack_remove(stack, med_id, do):
+    """Remove ONE occurrence of med_id (tracked_mediums.remove,
+    utils.rs:958-966); a miss is a no-op like the reference's None arm."""
+    match = (stack == med_id[:, None]) & do[:, None] & (med_id != 0)[:, None]
+    first = jnp.argmax(match, axis=-1)
+    any_match = jnp.any(match, axis=-1)
+    onehot = (
+        jnp.arange(stack.shape[-1], dtype=jnp.int32)[None, :] == first[:, None]
+    ) & any_match[:, None]
+    return jnp.where(onehot, 0, stack)
 
 
 def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
@@ -110,20 +136,32 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         return lanes(f), lanes(pdf)
 
     def body(state):
-        (bounce, o, d, beta, radiance, alive, prev_pdf, cur_med, counters) = state
+        (bounce, o, d, beta, radiance, alive, prev_pdf, med_stack, counters) = state
         kb = sampling.fold(key, bounce)
-        u = jax.random.uniform(kb, (n, 7 + 3 * max(settings.light_samples, 1)))
+        u = jax.random.uniform(kb, (n, 8 + 3 * max(settings.light_samples, 1)))
         hr = world.intersect(
             o, d,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
 
-        # ---- free-flight sampling in the tracked medium (utils.rs:767-805)
+        # ---- free-flight sampling over ALL tracked mediums (utils.rs:767-805:
+        # the reference races per-medium exponentials; sampling one combined
+        # exponential with rate Σσs and picking the scatterer ∝ σs share is
+        # the same distribution)
         if medium_aware:
-            sigma_s, sigma_a, _ = [
-                lanes(x) for x in medium_coefficients(world.mediums, world.bank, rep(cur_med), lam_f)
-            ]
+            sigma_s = jnp.zeros((n, C))
+            sigma_a = jnp.zeros((n, C))
+            ss_hero_slots = []
+            for k in range(MEDIUM_STACK_K):
+                ss_k, sa_k, _ = [
+                    lanes(x) for x in medium_coefficients(
+                        world.mediums, world.bank, rep(med_stack[:, k]), lam_f
+                    )
+                ]
+                sigma_s = sigma_s + ss_k
+                sigma_a = sigma_a + sa_k
+                ss_hero_slots.append(ss_k[:, 0])
             sigma_t = sigma_s + sigma_a
             ss_hero = sigma_s[:, 0]
             flight = jnp.where(
@@ -134,10 +172,17 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             surf_t = jnp.where(hr.hit, hr.t, RAY_TMAX)
             scattered = alive & (flight < surf_t)
             travel = jnp.minimum(jnp.minimum(flight, surf_t), 1e8)
+            # categorical pick of the scattering medium ∝ hero σs share
+            ss_slots = jnp.stack(ss_hero_slots, axis=-1)  # [N, K]
+            cum = jnp.cumsum(ss_slots, axis=-1)
+            pick = u[:, 7] * jnp.maximum(ss_hero, 1e-20)
+            slot = jnp.sum((cum < pick[:, None]).astype(jnp.int32), axis=-1)
+            slot = jnp.minimum(slot, MEDIUM_STACK_K - 1)
+            scat_med = jnp.take_along_axis(med_stack, slot[:, None], axis=-1)[:, 0]
             # hero-pdf divide-out (utils.rs:790-805): scatter event weight
             # σs_i·e^{−σt_i t}/(σs_h·e^{−σs_h t}); surface event weight
             # e^{−σt_i t}/e^{−σs_h t}
-            in_med = alive & (cur_med != 0)
+            in_med = alive & jnp.any(med_stack != 0, axis=-1)
             w_exp = jnp.exp(-(sigma_t - ss_hero[:, None]) * travel[:, None])
             w_scat = safe_div(sigma_s, ss_hero[:, None]) * w_exp
             lane_w = jnp.where(scattered[:, None], w_scat, w_exp)
@@ -187,9 +232,9 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         if nee_enabled:
             inv_ls = 1.0 / settings.light_samples
             for s in range(settings.light_samples):
-                u_pick = u[:, 7 + 3 * s]
-                u1 = u[:, 8 + 3 * s]
-                u2 = u[:, 9 + 3 * s]
+                u_pick = u[:, 8 + 3 * s]
+                u1 = u[:, 9 + 3 * s]
+                u2 = u[:, 10 + 3 * s]
                 chose_env, u_pick2 = sampling.choose(u_pick, p_env)
                 # instance-light branch
                 light_prim, lp_pdf = world.pick_random_light(u_pick2)
@@ -227,8 +272,9 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 thr_surf = f_surf * jnp.abs(wo_local[..., 2])[:, None]
                 if medium_aware:
                     # phase angle between propagation dir d and NEE direction
+                    # (phase of the medium that produced the scatter event)
                     ph = lanes(phase_eval(
-                        world.mediums, world.bank, rep(cur_med), lam_f,
+                        world.mediums, world.bank, rep(scat_med), lam_f,
                         rep(vecmath.dot(d, nee_dir)),
                     ))
                     thr = jnp.where(scattered[:, None], ph, thr_surf)
@@ -254,7 +300,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 if medium_aware:
                     tr_dist = jnp.where(chose_env, 2.0 * world.radius, dist)
                     tr = jnp.where(
-                        (cur_med != 0)[:, None],
+                        in_med[:, None],
                         jnp.exp(-sigma_t * jnp.minimum(tr_dist, 1e8)[:, None]),
                         1.0,
                     )
@@ -302,11 +348,11 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         d_surf = vecmath.normalize(frame.to_world(wo_local))
         if medium_aware:
             wo_med, ph_pdf_f = phase_sample(
-                world.mediums, world.bank, cur_med, lam_hero, d, u[:, 5], u[:, 6]
+                world.mediums, world.bank, scat_med, lam_hero, d, u[:, 5], u[:, 6]
             )
             if C > 1:
                 ph_lanes = lanes(phase_eval(
-                    world.mediums, world.bank, rep(cur_med), lam_f,
+                    world.mediums, world.bank, rep(scat_med), lam_f,
                     rep(vecmath.dot(d, wo_med)),
                 ))
                 ph_scale = safe_div(ph_lanes, ph_lanes[:, :1])
@@ -339,15 +385,21 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
             )[..., None],
         )
-        # ---- medium boundary transitions (utils.rs:940-1005)
+        # ---- medium boundary transitions on the tracked stack
+        # (utils.rs:940-1005): transmit outer→inner removes outer & pushes
+        # inner; inner→outer removes inner & pushes outer; reflections and
+        # inner==outer boundaries leave the stack alone
         if medium_aware:
             crossed = at_surface & (wo_local[..., 2] * wi_local[..., 2] < 0.0)
             entering = wo_local[..., 2] < 0.0
             mat = jnp.maximum(hr.material_id, 0)
-            new_med = jnp.where(
-                entering, world.mats.inner_medium[mat], world.mats.outer_medium[mat]
-            )
-            cur_med = jnp.where(crossed, new_med, cur_med)
+            inner = world.mats.inner_medium[mat]
+            outer = world.mats.outer_medium[mat]
+            do = crossed & (inner != outer)
+            rm_id = jnp.where(entering, outer, inner)
+            add_id = jnp.where(entering, inner, outer)
+            med_stack = _stack_remove(med_stack, rm_id, do)
+            med_stack = _stack_push(med_stack, add_id, do)
         counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(alive.astype(jnp.float32)))
         return (
             bounce + 1,
@@ -357,7 +409,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             radiance,
             alive,
             jnp.where(alive, f_pdf, prev_pdf),
-            cur_med,
+            med_stack,
             counters,
         )
 
@@ -378,7 +430,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         zeroC,
         zero1 < 1.0,
         zero1,
-        zero1.astype(jnp.int32),
+        jnp.zeros((n, MEDIUM_STACK_K), jnp.int32) + zero1[:, None].astype(jnp.int32),
         counters0,
     )
     state = jax.lax.while_loop(cond, body, state0)

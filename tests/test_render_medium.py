@@ -76,3 +76,46 @@ def test_forward_scattering_g_sign():
     world_f = _medium_sphere_world(sigma_s=2.0, sigma_a=0.0, g=0.9)
     est_f = _trace_through_center(world_f, medium_aware=True, max_bounces=64)
     assert est_f == pytest.approx(1.0, rel=0.05)
+
+
+def _nested_media_world(sa_a=0.4, sa_b=0.7):
+    """Two absorbing media in OVERLAPPING unit spheres (centers ±0.4 on x,
+    both boundaries with outer_medium = vacuum). A through-center ray sees
+    each chord fully: exp(-2R·σA − 2R·σB), with both media active in the
+    lens-shaped overlap. Only a tracked-medium STACK (utils.rs:940-1005)
+    gets this right — innermost-id tracking drops A when inside B and
+    drops B entirely after exiting A's far boundary."""
+    b = SceneBuilder()
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    g_curve = b.add_curve(spectral.FlatCurve(0.0), name="g")
+    ssz = b.add_curve(spectral.FlatCurve(0.0), name="ssz")
+    sa_ac = b.add_curve(spectral.FlatCurve(sa_a), name="saA")
+    sa_bc = b.add_curve(spectral.FlatCurve(sa_b), name="saB")
+    med_a = b.add_medium_hg(g_curve, ssz, sa_ac, name="A")
+    med_b = b.add_medium_hg(g_curve, ssz, sa_bc, name="B")
+    eta = b.add_curve(spectral.FlatCurve(1.03), name="eta")
+    eta_o = b.add_curve(spectral.FlatCurve(1.0), name="eta_o")
+    m_a = b.add_ggx(0.001, eta, eta_o, zero, permeability=1.0,
+                    inner_medium=med_a, outer_medium=0, name="shellA")
+    m_b = b.add_ggx(0.001, eta, eta_o, zero, permeability=1.0,
+                    inner_medium=med_b, outer_medium=0, name="shellB")
+    b.add_sphere([-0.4, 0.0, 0.0], 1.0, m_a)
+    b.add_sphere([0.4, 0.0, 0.0], 1.0, m_b)
+    b.set_environment_constant(one, 1.0)
+    b.env_sampling_probability = 1.0
+    return b.build()
+
+
+def test_nested_media_stack_transmittance():
+    sa_a, sa_b = 0.4, 0.7
+    world = _nested_media_world(sa_a, sa_b)
+    est = _trace_through_center(world, medium_aware=True, max_bounces=8,
+                                n=20_000)
+    # both chords are the full 2R = 2.0 (overlap double-attenuates)
+    expected = np.exp(-sa_a * 2.0 - sa_b * 2.0)
+    assert est == pytest.approx(expected, rel=0.03), (est, expected)
+    # regression guard: innermost-only tracking loses A inside B and loses
+    # B after exiting A -> exp(-σA·0.8 − σB·1.2)
+    wrong = np.exp(-sa_a * 0.8 - sa_b * 1.2)
+    assert abs(est - wrong) / wrong > 0.2
