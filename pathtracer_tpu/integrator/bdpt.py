@@ -40,6 +40,8 @@ from pathtracer_tpu.prelude import (
     TransportMode,
     safe_div,
 )
+from pathtracer_tpu.utils import profile as prof
+from pathtracer_tpu.world.environment import env_emission, env_pdf_for, env_sample_uv
 from pathtracer_tpu.world.world import World
 
 
@@ -74,12 +76,16 @@ def _to_area_pdf(pdf_sa, from_pos, to_pos, to_ns):
     return pdf_sa * safe_div(jnp.abs(vecmath.dot(to_ns, dir_)), dist2)
 
 
-def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert0=None):
+def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert0=None,
+                  counters=None):
     """Unrolled masked random walk collecting vertices 1..depth-1 (vertex 0
-    is supplied by the caller; its pdf_rev gets backfilled). Returns lists
-    of per-depth dicts."""
+    is supplied by the caller; its pdf_rev gets backfilled). Returns
+    (per-depth vertex dicts, escape dicts per depth, counters). Escape
+    records (eye walks) carry the throughput/pdf at environment misses for
+    the s=0 env strategy (bdpt/utils.rs:18-116 env case)."""
     n = o0.shape[0]
     verts = []
+    escapes = []
     o, d = o0, d0
     beta = beta0
     alive = beta0 > 0.0
@@ -93,6 +99,13 @@ def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
+        if counters is not None:
+            counters = counters.at[prof.BOUNCE_RAYS].add(
+                jnp.sum(alive.astype(jnp.float32))
+            )
+        escapes.append(dict(
+            escaped=alive & ~hr.hit, beta=beta, dir=d, pdf_sa=pdf_sa,
+        ))
         alive_here = alive & hr.hit
         pdf_fwd = _to_area_pdf(pdf_sa, prev_pos, hr.point, hr.normal)
         vert = dict(
@@ -134,7 +147,7 @@ def _walk_subpath(world, o0, d0, beta0, lam, mode, key, depth, pdf_dir_sa0, vert
         d = d_new
         pdf_sa = f_pdf
         verts.append(vert)
-    return verts
+    return verts, escapes, counters
 
 
 def _frame(normal):
@@ -156,7 +169,7 @@ def _stack_subpath(vert0: dict, verts: list, n) -> Subpath:
     )
 
 
-def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n):
+def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n, counters):
     u0 = jax.random.uniform(sampling.fold(key, 100), (n, 6))
     light_prim, pick_pdf = world.pick_random_light(u0[:, 0])
     lp, ln, area_pdf = sample_surface(world.prims, light_prim, u0[:, 1], u0[:, 2])
@@ -171,16 +184,18 @@ def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n):
         prim_id=light_prim, is_light=jnp.ones((n,), bool), beta=beta0,
         pdf_fwd=pdf_pos, pdf_rev=jnp.zeros((n,)), valid=beta0 > 0.0,
     )
+    counters = counters.at[prof.LIGHT_RAYS].add(jnp.sum((beta0 > 0).astype(jnp.float32)))
     beta1 = beta0 * safe_div(le * cos0, dir_pdf_sa)
     o0 = lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None]
-    verts = _walk_subpath(
+    verts, _, counters = _walk_subpath(
         world, o0, d0, beta1, lam, TransportMode.Importance,
         sampling.fold(key, 200), settings.max_depth, dir_pdf_sa, vert0=vert0,
+        counters=counters,
     )
-    return _stack_subpath(vert0, verts, n), light_prim
+    return _stack_subpath(vert0, verts, n), light_prim, counters
 
 
-def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
+def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key, counters):
     n = film_uv.shape[0]
     ul = jax.random.uniform(sampling.fold(key, 300), (n, 2))
     o0, d0, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
@@ -195,11 +210,13 @@ def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key):
         beta=tau, pdf_fwd=jnp.ones((n,)),
         pdf_rev=jnp.zeros((n,)), valid=tau > 0.0,
     )
-    verts = _walk_subpath(
+    counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum((tau > 0).astype(jnp.float32)))
+    verts, escapes, counters = _walk_subpath(
         world, o0, d0, tau, lam, TransportMode.Radiance,
         sampling.fold(key, 400), settings.max_depth, pdf_dir_sa, vert0=vert0,
+        counters=counters,
     )
-    return _stack_subpath(vert0, verts, n)
+    return _stack_subpath(vert0, verts, n), escapes, counters
 
 
 def _remap0(x):
@@ -236,8 +253,8 @@ def _mis_weight(world, lam, y: Subpath, z: Subpath, s: int, t: int,
 
 def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     """One BDPT sample per film point. Returns (own_pixel_energy f32[N],
-    splat_uv f32[M,2], splat_energy f32[M], lam f32[N]) where splats are the
-    t=1 strategies (M = N·(max_depth-1))."""
+    splat_uv f32[M,2], splat_energy f32[M], lam f32[N], lam_splat, counters)
+    where splats are the t=1 strategies (M = N·(max_depth-1))."""
     n = film_uv.shape[0]
     wb = settings.wavelength_bounds
     k_lam, k_light, k_eye, k_con = jax.random.split(key, 4)
@@ -245,9 +262,18 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     # λ is drawn once per sample (uniform); the 1/pdf = span factor is
     # applied exactly once by the renderer, so subpath betas carry none
     lam_pdf = jnp.ones((n,))
+    counters = prof.zeros() + jnp.sum(lam * 0.0)
 
-    y, light_prim0 = generate_light_subpath(world, settings, lam, lam_pdf, k_light, n)
-    z = generate_eye_subpath(world, camera, settings, film_uv, lam, k_eye)
+    y, light_prim0, counters = generate_light_subpath(
+        world, settings, lam, lam_pdf, k_light, n, counters
+    )
+    z, z_escapes, counters = generate_eye_subpath(
+        world, camera, settings, film_uv, lam, k_eye, counters
+    )
+    # the eye subpath's ACTUAL sampled lens point: all camera-side
+    # connections/pdfs use it (round-1 used camera.origin, i.e. a pinhole —
+    # biased for thin-lens apertures)
+    lens_pt = z.pos[:, 0]
 
     D = settings.max_depth
     own = jnp.zeros((n,))
@@ -260,6 +286,49 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         return settings.selected_pair == (s, t)
 
     a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+
+    # ---------- environment family (disjoint from instance-light paths):
+    # s=0 env escape at each eye depth, MIS-paired with env-NEE from the
+    # same vertex — together they cover every eye...surface...env path the
+    # way PT does (the reference's bdpt env strategies, utils.rs:18-116)
+    if settings.selected_pair is None:
+        for i, esc in enumerate(z_escapes):
+            env_e = env_emission(world.env, world.bank, world.tex, esc["dir"], lam)
+            env_pdf = env_pdf_for(world.env, esc["dir"])
+            if i == 0:
+                w_esc = jnp.ones((n,))
+            else:
+                w_esc = safe_div(esc["pdf_sa"], esc["pdf_sa"] + env_pdf)
+            own = own + jnp.where(esc["escaped"], esc["beta"] * env_e * w_esc, 0.0)
+        u_env = jax.random.uniform(sampling.fold(k_con, 777), (n, 2 * D))
+        for i in range(1, D):
+            zv = _gather(z, i)
+            env_dir, env_pdf = env_sample_uv(
+                world.env, u_env[:, 2 * i], u_env[:, 2 * i + 1]
+            )
+            env_e = env_emission(world.env, world.bank, world.tex, env_dir, lam)
+            frame_z = vecmath.TangentFrame(*_frame(zv.ns))
+            fz, fz_pdf = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(env_dir), TransportMode.Radiance,
+            )
+            cos_z = jnp.abs(vecmath.dot(zv.ns, env_dir))
+            w_nee = safe_div(env_pdf, env_pdf + fz_pdf)
+            contrib = safe_div(zv.beta * fz * cos_z * env_e * w_nee, env_pdf)
+            worth = zv.valid & ~zv.is_light & (contrib > 0.0) & jnp.isfinite(contrib)
+            so = zv.pos + zv.gn * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(zv.gn, env_dir) + 1e-9)
+            )[..., None]
+            blocked = world.intersect_any(
+                so, env_dir,
+                jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+                jnp.full((n,), RAY_TMAX, jnp.float32),
+            )
+            counters = counters.at[prof.SHADOW_RAYS].add(
+                jnp.sum(worth.astype(jnp.float32))
+            )
+            own = own + jnp.where(worth & ~blocked, contrib, 0.0)
 
     # ---------- s = 0: eye path hits a light (bdpt/utils.rs:18-116 s=0 case)
     for t in range(2, D + 1):
@@ -329,6 +398,9 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
                 jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
                 dist * 0.99,
             )
+            counters = counters.at[prof.SHADOW_RAYS].add(
+                jnp.sum(worth.astype(jnp.float32))
+            )
             # junction reverse pdfs (area measure)
             # z_{t-1} generated from y_{s-1}:
             if s == 1:
@@ -378,11 +450,11 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         if not pair_enabled(s, 1):
             continue
         yv = _gather(y, s - 1)
-        to_cam = camera.origin - yv.pos
+        to_cam = lens_pt - yv.pos
         dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
         dist = jnp.sqrt(dist2)
         dir_c = to_cam / dist[..., None]
-        fu, fv, on_film = camera.get_pixel_for_ray(camera.origin * jnp.ones_like(yv.pos), -dir_c)
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
         cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
         we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
         frame_y = vecmath.TangentFrame(*_frame(yv.ns))
@@ -401,9 +473,12 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             dist * 0.99,
         )
+        counters = counters.at[prof.CAMERA_RAYS].add(
+            jnp.sum((yv.valid & on_film).astype(jnp.float32))
+        )
         # junction pdfs: y_{s-1} from camera; y_{s-2} from y_{s-1}
         cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
-        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, camera.origin * jnp.ones_like(yv.pos), yv.pos, yv.ns)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
         _, pdf_y_prev_sa = bsdf_eval(
             world.mats, world.bank, world.tex, yv.mat_id, lam,
             jnp.zeros((n, 2)), frame_y.to_local(dir_c),
@@ -418,11 +493,11 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     # ---------- s = 1, t = 1: light vertex direct to lens
     if pair_enabled(1, 1):
         yv = _gather(y, 0)
-        to_cam = camera.origin - yv.pos
+        to_cam = lens_pt - yv.pos
         dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
         dist = jnp.sqrt(dist2)
         dir_c = to_cam / dist[..., None]
-        fu, fv, on_film = camera.get_pixel_for_ray(camera.origin * jnp.ones_like(yv.pos), -dir_c)
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
         cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
         we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
         le = emission(world.mats, world.bank, yv.mat_id, lam, jnp.zeros((n, 2)),
@@ -437,8 +512,11 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             dist * 0.99,
         )
+        counters = counters.at[prof.CAMERA_RAYS].add(
+            jnp.sum((yv.valid & on_film).astype(jnp.float32))
+        )
         cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
-        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, camera.origin * jnp.ones_like(yv.pos), yv.pos, yv.ns)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
         w = _mis_weight(world, lam, y, z, 1, 1, pdf_rev_y_end, 0.0, 0.0, 0.0)
         ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
         splat_uv.append(jnp.stack([fu, fv], axis=-1))
@@ -447,7 +525,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     splat_uv = jnp.concatenate(splat_uv, axis=0) if splat_uv else jnp.zeros((0, 2))
     splat_e = jnp.concatenate(splat_e, axis=0) if splat_e else jnp.zeros((0,))
     lam_splat = jnp.tile(lam, (splat_e.shape[0] // max(n, 1),)) if splat_e.shape[0] else lam[:0]
-    return own, splat_uv, splat_e, lam, lam_splat
+    return own, splat_uv, splat_e, lam, lam_splat, counters
 
 
 def _light_pos_pdf(world: World, zv):

@@ -144,6 +144,9 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
+        # camera lens proxies absorb camera paths (MaterialId::Camera hits
+        # contribute nothing under PT — reference pt.rs behavior)
+        alive = alive & (hr.mat_kind != 2)
 
         # ---- free-flight sampling over ALL tracked mediums (utils.rs:767-805:
         # the reference races per-medium exponentials; sampling one combined

@@ -96,7 +96,8 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
-        at_surface = alive & hr.hit
+        # camera lens proxies absorb the path (MaterialId::Camera)
+        at_surface = alive & hr.hit & (hr.mat_kind != 2)
 
         # ---- environment escape
         escaped = alive & ~hr.hit

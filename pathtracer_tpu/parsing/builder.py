@@ -399,6 +399,39 @@ class SceneBuilder:
             )
         return rows
 
+    def add_camera_surface(self, camera_id: int, origin, direction, lens_radius: float) -> int:
+        """Camera lens proxy: a Disk tagged MaterialId::Camera in the scene
+        so light paths can hit the lens directly (reference
+        src/camera/projective_camera.rs:73-79 — upstream builds the proxy
+        but its accelerator insertion is unimplemented!(); here it is real).
+        Returns the instance id, or -1 for a zero-area (pinhole) lens."""
+        if lens_radius <= 0.0:
+            return -1
+        c = np.asarray(origin, np.float32)
+        nrm = np.asarray(direction, np.float32)
+        nrm = nrm / np.linalg.norm(nrm)
+        iid = self._new_instance()
+        lo = c - lens_radius
+        hi = c + lens_radius
+        self.prims.append(
+            _Prim(
+                PRIM_DISK,
+                c,
+                nrm,
+                np.array([lens_radius, 0, 0], np.float32),
+                *[np.zeros(3, np.float32)] * 3,
+                camera_id,
+                2,  # MaterialId::Camera kind
+                iid,
+                0,
+                float(np.pi * lens_radius * lens_radius),
+                lo,
+                hi,
+            )
+        )
+        self.camera_surfaces.append(len(self.prims) - 1)
+        return iid
+
     # ---------------------------------------------------------------- env
 
     def set_environment_constant(self, curve_idx: int, strength: float):

@@ -214,7 +214,12 @@ def construct_world(
     scene_path: str,
     search_paths: Optional[List[str]] = None,
     cache_dir: str = "cache",
+    camera_surfaces: bool = False,
 ) -> SceneBundle:
+    """camera_surfaces: insert each projective camera's lens-proxy disk
+    into the scene (MaterialId::Camera) so LT light paths can hit the lens
+    directly — enable for LT renders (reference projective_camera.rs:73-79;
+    upstream's accelerator insertion is unimplemented!())."""
     with open(resolve(scene_path, search_paths), "rb") as f:
         scene = tomllib.load(f)
 
@@ -274,6 +279,19 @@ def construct_world(
     cameras = []
     for cam in scene.get("cameras", []):
         cameras.append(CameraSpec(kind=cam["type"], name=cam.get("name", "main"), data=cam))
+
+    if camera_surfaces:
+        for ci, spec in enumerate(cameras):
+            if spec.kind != "SimpleCamera":
+                continue
+            d = spec.data
+            lf = np.asarray(d["look_from"], np.float64)
+            la = np.asarray(d["look_at"], np.float64)
+            w_dir = la - lf
+            w_dir = w_dir / np.linalg.norm(w_dir)
+            b.add_camera_surface(
+                ci, lf, w_dir, float(d.get("aperture_diameter", 0.0)) / 2.0
+            )
 
     world = b.build()
     return SceneBundle(world=world, cameras=cameras, builder=b)

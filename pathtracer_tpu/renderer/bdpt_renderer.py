@@ -21,7 +21,9 @@ def _bdpt_chunk(world, camera, key, settings: BDPTSettings, width: int, height: 
     xy = jnp.stack([(ids % width).astype(jnp.float32), (ids // width).astype(jnp.float32)], axis=-1)
     jitter = jax.random.uniform(sampling.fold(key, 11), (n, 2))
     film_uv = (xy + jitter) / jnp.array([width, height], jnp.float32)
-    own, splat_uv, splat_e, lam, lam_splat = bdpt_trace(world, camera, settings, film_uv, sampling.fold(key, 13))
+    own, splat_uv, splat_e, lam, lam_splat, counters = bdpt_trace(
+        world, camera, settings, film_uv, sampling.fold(key, 13)
+    )
     span = settings.wavelength_bounds.span
     film = cie.wavelength_to_xyz(lam, own) * span
     # splats: scatter-add into the film (×W·H handled by caller's normalise)
@@ -30,7 +32,7 @@ def _bdpt_chunk(world, camera, key, settings: BDPTSettings, width: int, height: 
     pid = py * width + px
     splat_xyz = cie.wavelength_to_xyz(lam_splat, splat_e) * span
     splat_film = jnp.zeros((n, 3)).at[pid].add(splat_xyz)
-    return film, splat_film
+    return film, splat_film, counters
 
 
 def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
@@ -41,11 +43,15 @@ def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
     n = width * height
     film = jnp.zeros((n, 3))
     splats = jnp.zeros((n, 3))
+    total = None
     t0 = time.perf_counter()
     for c in range(min_samples):
-        f, sp = _bdpt_chunk(world, camera, sampling.fold(key, 5000 + c), settings, width, height)
+        f, sp, counters = _bdpt_chunk(
+            world, camera, sampling.fold(key, 5000 + c), settings, width, height
+        )
         film = film + f
         splats = splats + sp
+        total = counters if total is None else total + counters
         if progress is not None:
             progress(c + 1, min_samples)
     # own-pixel terms average per sample; splats are film-wide measurements:
@@ -53,4 +59,4 @@ def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
     out = film / min_samples + splats * (float(n) / (n * min_samples))
     out.block_until_ready()
     elapsed = time.perf_counter() - t0
-    return jnp.reshape(out, (height, width, 3)), Profile(), elapsed
+    return jnp.reshape(out, (height, width, 3)), Profile().add_device_counts(total), elapsed
