@@ -82,13 +82,25 @@ def _sample_emission_direction(world, mat_id, normal, u1, u2, u_side):
     return d, pdf, cos_t
 
 
-def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens, counters):
+def _sample_lens_point(camera, u1, u2):
+    lens_xy = sampling.random_in_unit_disk(u1, u2) * camera.lens_radius
+    return camera.origin + lens_xy[..., 0:1] * camera.u + lens_xy[..., 1:2] * camera.v
+
+
+def _lens_area(camera):
+    return jnp.pi * camera.lens_radius * camera.lens_radius
+
+
+def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens,
+                       counters, bsdf_pdf_toward=None):
     """Direct camera connection (evaluate_direct_importance equivalent,
     src/integrator/lt.rs:11-77). beta_f: throughput × bsdf/phase value ×
-    (local cos at the vertex handled by caller). Returns (pixel_id, xyz,
-    valid)."""
-    lens_xy = sampling.random_in_unit_disk(u_lens[..., 0], u_lens[..., 1]) * camera.lens_radius
-    lens_pt = camera.origin + lens_xy[..., 0:1] * camera.u + lens_xy[..., 1:2] * camera.v
+    (local cos at the vertex handled by caller). `bsdf_pdf_toward`: optional
+    callback dir->solid-angle pdf of the vertex's own sampling producing
+    that direction — used for MIS against the direct lens-hit strategy
+    (only relevant for finite apertures with a lens proxy in the scene).
+    Returns (film_u, film_v, energy, valid, counters, dir_c)."""
+    lens_pt = _sample_lens_point(camera, u_lens[..., 0], u_lens[..., 1])
     to_cam = lens_pt - point
     dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
     dist = jnp.sqrt(dist2)
@@ -120,6 +132,19 @@ def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens
     )
     counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum((~blocked).astype(jnp.float32)))
     energy = beta_f * geo * we
+    # MIS vs the direct lens-hit strategy (both produce vertex→lens paths
+    # when the lens proxy is in the scene; balance heuristic in lens-area
+    # measure). Pinhole: no proxy can be hit -> weight 1.
+    a_lens = _lens_area(camera)
+    if bsdf_pdf_toward is not None:
+        # direct-hit competitor exists only when the lens proxy disk is in
+        # the scene (mat_kind 2) AND the aperture has area
+        has_proxy = jnp.any(world.prims.mat_kind == 2)
+        p_conn = safe_div(1.0, a_lens)
+        p_hit = bsdf_pdf_toward(dir_c) * safe_div(cos_cam, dist2)
+        energy = energy * jnp.where(
+            (a_lens > 0.0) & has_proxy, safe_div(p_conn, p_conn + p_hit), 1.0
+        )
     valid = on_film & ~blocked & (energy > 0.0) & jnp.isfinite(energy)
     return film_u, film_v, energy, valid, counters
 
@@ -204,30 +229,42 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
 
     # connect the light vertex itself to the camera (s=1 paths; instance
     # particles only — a direct env→lens connection needs the env radiance
-    # toward the lens, which is the s=0/proxy-hit strategy, not this one)
+    # toward the lens, which is the proxy-hit strategy, not this one)
     def light_vertex_connect(film, counters, key_c):
+        from pathtracer_tpu.materials.tables import emission_direction_pdf
+
         uc = jax.random.uniform(key_c, (n, 2))
-        # emission toward the camera requires the actual cosine; compute dir first
-        lens_pt = camera.origin
-        to_cam = lens_pt - lp_i
-        dir_c = vecmath.normalize(to_cam)
-        cos_lc = vecmath.dot(ln, dir_c)
-        le_c = emission(world.mats, world.bank, mat_id, lam_i, jnp.zeros((n, 2)), cos_lc)
+        holder = {}
+
+        def pdf_toward(dir_w):
+            # emission toward the ACTUAL sampled lens point; pdf doubles as
+            # the MIS competitor (the emitted ray hitting the lens directly)
+            cos_lc = vecmath.dot(ln, dir_w)
+            le_c = emission(world.mats, world.bank, mat_id, lam_i,
+                            jnp.zeros((n, 2)), cos_lc)
+            holder["le_cos"] = le_c * jnp.abs(cos_lc)
+            return emission_direction_pdf(world.mats, mat_id, cos_lc)
+
         fu, fv, energy, valid, counters = _connect_to_camera(
             world, camera, lp_i, ln,
             safe_div(
-                le_c * jnp.abs(cos_lc),
+                1.0,
                 jnp.maximum(1.0 - p_env, 1e-6) * pick_pdf * area_pdf * lam_pdf,
             ),
-            lam_i, uc, counters,
+            lam_i, uc, counters, bsdf_pdf_toward=pdf_toward,
         )
-        valid = valid & ~pick_env & (world.n_lights > 0)
+        energy = energy * holder["le_cos"]
+        valid = (valid & ~pick_env & (world.n_lights > 0)
+                 & (energy > 0.0) & jnp.isfinite(energy))
         return splat(film, fu, fv, energy, valid, lam_i), counters
 
     film, counters = light_vertex_connect(film, counters, sampling.fold(k_walk, 999))
 
+    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+    a_lens = _lens_area(camera)
+
     def body(state):
-        bounce, o, d, beta, alive, film, counters = state
+        bounce, o, d, beta, alive, prev_pdf_sa, film, counters = state
         kb = sampling.fold(k_walk, bounce)
         u = jax.random.uniform(kb, (n, 4 + 2 * settings.camera_samples))
         hr = world.intersect(
@@ -235,7 +272,27 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
-        alive = alive & hr.hit
+
+        # ---- direct light→lens hit (reference lt.rs:253-301 Camera vertex;
+        # requires the camera lens proxy disk in the scene). MIS-paired with
+        # the deterministic lens connection from the PREVIOUS vertex.
+        hit_cam = alive & hr.hit & (hr.mat_kind == 2)
+        fu_h, fv_h, on_film_h = camera.get_pixel_for_ray(hr.point, d)
+        cos_cam_h = jnp.abs(vecmath.dot(d, camera.w))
+        we_area = safe_div(
+            camera.focal_distance**2,
+            a_lens * jnp.maximum(cos_cam_h, 1e-6) ** 4 * a_film,
+        )
+        p_hit_area = prev_pdf_sa * safe_div(cos_cam_h, jnp.maximum(hr.t, 1e-6) ** 2)
+        w_hit = safe_div(p_hit_area, p_hit_area + safe_div(1.0, a_lens))
+        # env particles have no s=1 lens-connection competitor on their
+        # first segment (no env→lens connection strategy exists) -> full
+        # weight for the direct hit
+        w_hit = jnp.where((bounce == 0) & pick_env, 1.0, w_hit)
+        e_hit = beta * we_area * w_hit
+        film = splat(film, fu_h, fv_h, jnp.where(hit_cam, e_hit, 0.0),
+                     hit_cam & on_film_h & jnp.isfinite(e_hit), lam)
+        alive = alive & hr.hit & (hr.mat_kind != 2)
         frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
         wi_local = frame.to_local(-d)
 
@@ -243,17 +300,31 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         inv_cs = 1.0 / settings.camera_samples
         for c in range(settings.camera_samples):
             uc = u[:, 4 + 2 * c : 6 + 2 * c]
-            to_cam_dir = vecmath.normalize(camera.origin - hr.point)
-            wo_local = frame.to_local(to_cam_dir)
-            f_c, _ = bsdf_eval(
-                world.mats, world.bank, world.tex,
-                jnp.maximum(hr.material_id, 0), lam, hr.uv,
-                wi_local, wo_local, TransportMode.Importance,
-            )
-            beta_f = beta * f_c * jnp.abs(wo_local[..., 2]) * inv_cs
+
+            def f_and_pdf(dir_w):
+                wo_l = frame.to_local(dir_w)
+                return bsdf_eval(
+                    world.mats, world.bank, world.tex,
+                    jnp.maximum(hr.material_id, 0), lam, hr.uv,
+                    wi_local, wo_l, TransportMode.Importance,
+                )
+
+            # evaluate f toward the actual sampled lens point inside the
+            # helper via the callback (pdf doubles as the MIS competitor)
+            pdf_holder = {}
+
+            def pdf_toward(dir_w):
+                f_c, pdf_c = f_and_pdf(dir_w)
+                pdf_holder["f"] = f_c
+                pdf_holder["cos"] = jnp.abs(frame.to_local(dir_w)[..., 2])
+                return pdf_c
+
             fu, fv, energy, valid, counters = _connect_to_camera(
-                world, camera, hr.point, hr.geo_normal, beta_f, lam, uc, counters
+                world, camera, hr.point, hr.geo_normal, beta * inv_cs, lam, uc,
+                counters, bsdf_pdf_toward=pdf_toward,
             )
+            energy = energy * pdf_holder["f"] * pdf_holder["cos"]
+            valid = valid & (energy > 0.0) & jnp.isfinite(energy)
             film = splat(film, fu, fv, jnp.where(alive, energy, 0.0), valid & alive, lam)
 
         # ---- continue the walk (Importance transport)
@@ -282,6 +353,7 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
             jnp.where(alive[..., None], d_new, d),
             beta,
             alive,
+            jnp.where(alive, f_pdf, prev_pdf_sa),
             film,
             counters,
         )
@@ -289,9 +361,12 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
     def cond(state):
         return (state[0] < settings.max_bounces) & jnp.any(state[4])
 
-    state0 = (jnp.int32(0), o, d, beta, alive, film, counters)
+    # initial direction pdf: the emission sample's solid-angle pdf (for the
+    # first-segment direct-lens-hit MIS)
+    prev_pdf0 = jnp.where(pick_env, dir_pdf_env, dir_pdf)
+    state0 = (jnp.int32(0), o, d, beta, alive, prev_pdf0, film, counters)
     state = jax.lax.while_loop(cond, body, state0)
-    return state[5], state[6]
+    return state[6], state[7]
 
 
 def _frame_arrays(normal):

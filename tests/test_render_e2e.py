@@ -181,3 +181,32 @@ def test_sharp_light_nee_consistency():
         e, _ = pt_trace(world, s, o, d, lam, jax.random.PRNGKey(0))
         vals.append(float(jnp.mean(e)))
     assert vals[1] == pytest.approx(vals[0], rel=0.05), vals
+
+
+def test_white_furnace_tight():
+    """BASELINE target: furnace within 0.5% of unity. Variance control: a
+    fixed wavelength (no CIE-integration noise), no RR, enough paths that
+    the standard error sits well under the tolerance. Convexity bounds the
+    path length (a cosine bounce off a convex sphere cannot re-hit it), so
+    max_bounces=6 carries no truncation error."""
+    from pathtracer_tpu.integrator.pt import pt_trace
+
+    world = _furnace_world(1.0)
+    settings = PTSettings(max_bounces=6, min_bounces=6, light_samples=1,
+                          russian_roulette=False)
+    n = 65536
+    rng = np.random.default_rng(0)
+    total, count = 0.0, 0
+    for rep in range(8):
+        # rays converging on the sphere from a shell (always hit)
+        targets = rng.uniform(-0.55, 0.55, size=(n, 3))
+        d = targets - np.array([4.0, 0.0, 0.0])
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        o = np.tile(np.array([[4.0, 0.0, 0.0]], np.float32), (n, 1))
+        lam = jnp.full((n,), 560.0)
+        e, _ = pt_trace(world, settings, jnp.asarray(o), jnp.asarray(d, jnp.float32),
+                        lam, jax.random.PRNGKey(100 + rep))
+        total += float(jnp.sum(e))
+        count += n
+    est = total / count
+    assert abs(est - 1.0) < 0.005, est

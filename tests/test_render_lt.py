@@ -128,3 +128,53 @@ def test_lt_env_emission_matches_pt(env_sphere_scene):
     lt_y = float(np.asarray(lt_film[c0:c1, c0:c1, 1]).mean())
     assert lt_y > 0.0, "LT env-lit render is black"
     assert abs(lt_y - pt_y) / pt_y < 0.15, (pt_y, lt_y)
+
+
+def test_lt_direct_lens_hits_with_proxy():
+    """Finite aperture + camera lens proxy in the scene: direct light→lens
+    hits (reference lt.rs:253-301 Camera vertices) are MIS-paired with the
+    deterministic lens connections — together they must still match PT."""
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.7), name="white")
+    emit = b.add_curve(spectral.FlatCurve(40.0), name="emit")
+    b78 = b.add_curve(spectral.FlatCurve(0.78), name="b78")
+    zero = b.add_curve(spectral.FlatCurve(0.0), name="zero")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    mw = b.add_lambertian(tw, name="mw")
+    ml = b.add_diffuse_light(emit, b78, SIDE_REVERSE, name="ml")
+    s = 0.5
+    b.add_rect([s, s, 0.0], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([s, s, 2 * s], [s, 0, 0], [0, s, 0], mw)
+    b.add_rect([2 * s, s, s], [0, s, 0], [0, 0, s], mw)
+    b.add_rect([s, 2 * s, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, 0.0, s], [s, 0, 0], [0, 0, s], mw)
+    b.add_rect([s, s, 2 * s - 1e-3], [0.2, 0, 0], [0, 0.2, 0], ml)
+    b.set_environment_constant(zero, 0.0)
+    b.env_sampling_probability = 0.0
+    look_from = np.array([-1.2, 0.5, 0.5])
+    look_at = np.array([0.5, 0.5, 0.5])
+    w_dir = (look_at - look_from) / np.linalg.norm(look_at - look_from)
+    aperture = 0.12
+    b.add_camera_surface(0, look_from, w_dir, aperture / 2.0)
+    world = b.build()
+    assert int(np.asarray((world.prims.mat_kind == 2).sum())) == 1
+    cam = make_projective_camera(
+        look_from=look_from, look_at=look_at, vfov_degrees=45.0,
+        focal_distance=1.7, aperture_diameter=aperture, aspect_ratio=1.0,
+    )
+    res = 16
+    pt_film, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=200, key=jax.random.PRNGKey(12), sample_chunk=50,
+    )
+    lt_film, _, _ = render_splatted(
+        world, cam, LTSettings(max_bounces=4, min_bounces=4, camera_samples=1,
+                               russian_roulette=False),
+        res, res, min_samples=800, key=jax.random.PRNGKey(13),
+    )
+    pt_y = float(np.asarray(pt_film[..., 1]).mean())
+    lt_y = float(np.asarray(lt_film[..., 1]).mean())
+    assert lt_y > 0
+    assert abs(lt_y - pt_y) / pt_y < 0.15, (pt_y, lt_y)
