@@ -134,11 +134,10 @@ def make_realistic_camera(data: dict, aspect_ratio: float = 1.0,
     spec = resolve(data.get("lens_spec", data.get("lens", "data/cameras/petzval_kodak.txt")), search_paths)
     elements = parse_lenses_from(spec)
     fstop = float(data.get("fstop", 4.0))
-    # aperture radius from f-number: D = f/N; approximate f with assembly
-    # focal spread — use the stop housing scaled by (reference scales the
-    # housing radius by the f-stop ratio, realistic_camera.rs:44-46)
+    # reference semantics: the stop element's housing radius is divided by
+    # the f-stop (realistic_camera.rs:44-46)
     stop_housing = next((e.aperture_radius for e in elements if e.is_stop), 10.0)
-    iris_radius = stop_housing * 1e-3 * min(1.0, 2.8 / max(fstop, 0.1))
+    iris_radius = stop_housing * 1e-3 / max(fstop, 0.1)
     stack = build_lens_stack(elements, scale=1e-3, iris_radius=iris_radius)
     sensor_mm = float(data.get("sensor_size", 35.0))
     sensor_half = sensor_mm * 1e-3 / 2.0

@@ -161,7 +161,11 @@ def main(argv=None):
     config = parse_config(resolve(args.config, search))
     scene_path = args.scene or config.default_scene_file
     log.info("building world from %s", scene_path)
-    bundle = construct_world(scene_path, search_paths=search, cache_dir=args.cache_dir)
+    # LT renders need the camera lens proxy in the scene for direct
+    # light→lens hits (projective_camera.rs:73-79)
+    use_lt = any(rs.integrator.kind == "LT" for rs in config.render_settings)
+    bundle = construct_world(scene_path, search_paths=search,
+                             cache_dir=args.cache_dir, camera_surfaces=use_lt)
     log.info("world: %d primitives, %d materials, %d curves",
              bundle.world.prims.count, bundle.world.mats.count, bundle.world.bank.n_curves)
     if args.dry_run:

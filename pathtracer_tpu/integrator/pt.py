@@ -447,6 +447,17 @@ def _frame_arrays(normal):
     return t, b, normal
 
 
+def camera_ray(camera, film_u, film_v, u1, u2, lam_hero):
+    """Camera ray dispatch: λ-aware lens tracing when the camera supports it
+    (RealisticCamera.get_ray_spectral — real chromatic aberration through
+    the assembly, realistic_camera.rs:77-194 with the trace at the sampled
+    λ rather than a fixed 550nm). HWSS companion lanes share the hero's
+    lens path (exact for single-λ sampling)."""
+    if hasattr(camera, "get_ray_spectral"):
+        return camera.get_ray_spectral(film_u, film_v, u1, u2, lam_hero)
+    return camera.get_ray(film_u, film_v, u1, u2)
+
+
 def sample_hero_wavelengths(key, n, bounds: Bounds1D, lanes: int):
     """Hero λ uniform + equally-rotated companions wrapping the range
     (Wilkie et al. HWSS; the reference's planned f32x4 λ packs)."""
@@ -465,7 +476,8 @@ def trace_camera_sample(world, camera, settings: PTSettings, film_uv, key):
     C = HWSS_LANES if settings.hwss else 1
     lam = sample_hero_wavelengths(k_lam, n, wb, C)
     ul = jax.random.uniform(k_lens, (n, 2))
-    o, d, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
+    o, d, tau = camera_ray(camera, film_uv[:, 0], film_uv[:, 1],
+                           ul[:, 0], ul[:, 1], lam[:, 0])
     energy, counters = pt_trace(world, settings, o, d, lam, k_walk)
     # MC estimator of ∫ L(λ) x̄(λ) dλ: each lane has pdf C/span -> average
     # the lanes and scale by span; tau = camera-ray weight (vignetting)

@@ -66,10 +66,13 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         return jnp.repeat(x, C, axis=0)
 
     def spawn(rnd):
+        from pathtracer_tpu.integrator.pt import camera_ray
+
         film_uv = (xy + rnd[:, 0:2]) * inv_res
-        o, d, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], rnd[:, 2], rnd[:, 3])
         offs = jnp.arange(C, dtype=jnp.float32) / C
         lam = wb.lower + ((rnd[:, 4:5] + offs[None, :]) % 1.0) * wb.span
+        o, d, tau = camera_ray(camera, film_uv[:, 0], film_uv[:, 1],
+                               rnd[:, 2], rnd[:, 3], lam[:, 0])
         return o, d, lam, tau
 
     n_u = 7 + 3 * max(settings.light_samples, 1) + 5

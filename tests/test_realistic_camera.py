@@ -77,7 +77,9 @@ def test_make_realistic_camera_rays():
     u2 = jnp.asarray(rng.uniform(size=n), jnp.float32)
     o, d, tau = cam.get_ray(fu, fv, u1, u2)
     tau = np.asarray(tau)
-    assert tau.mean() > 0.3, "most central rays should make it through"
+    assert tau.mean() > 0.25, "most central rays should make it through"
+    # (threshold relaxed from 0.3: reference f-stop semantics housing/fstop
+    # shrink the iris vs the round-1 heuristic)
     d = np.asarray(d)[tau > 0]
     assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
     # rays point roughly along +x (the look direction)
@@ -101,3 +103,31 @@ def test_bladed_aperture_shape():
     assert r_h.max() <= 1.0 + 1e-5  # polygon inscribed in the unit circle
     # hexagon area / circle area = 3√3/2π ≈ 0.827 -> mean radius shrinks
     assert r_h.mean() < r_c.mean() * 0.97
+
+
+def test_spectral_lens_tracing_in_render_path():
+    """camera_ray (the integrators' dispatch) must route RealisticCamera
+    through get_ray_spectral: off-axis rays at 450nm vs 650nm exit the
+    assembly in different directions (chromatic aberration — round 1 traced
+    every render ray at a fixed 550nm)."""
+    import jax.numpy as jnp
+    from pathtracer_tpu.integrator.pt import camera_ray
+
+    cam = make_realistic_camera(
+        dict(lens_spec=SPEC, fstop=2.8, sensor_size=35.0,
+             look_from=[0, 0, 1], look_at=[1, 0, 1]),
+        aspect_ratio=1.0,
+    )
+    n = 512
+    rng = np.random.default_rng(1)
+    fu = jnp.asarray(rng.uniform(0.25, 0.75, n), jnp.float32)
+    fv = jnp.full((n,), 0.35)
+    u1 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    u2 = jnp.asarray(rng.uniform(size=n), jnp.float32)
+    o_b, d_b, t_b = camera_ray(cam, fu, fv, u1, u2, jnp.full((n,), 450.0))
+    o_r, d_r, t_r = camera_ray(cam, fu, fv, u1, u2, jnp.full((n,), 650.0))
+    both = (np.asarray(t_b) > 0) & (np.asarray(t_r) > 0)
+    assert both.sum() > 10
+    dd = np.linalg.norm(np.asarray(d_b) - np.asarray(d_r), axis=-1)[both]
+    assert dd.max() > 1e-5, "no chromatic spread between 450nm and 650nm"
+    assert dd.max() < 0.1, "dispersion implausibly large"
