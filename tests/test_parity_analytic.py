@@ -1,0 +1,91 @@
+"""Analytic ground-truth parity evidence (BASELINE "RMSE <1% vs reference"
+north star substitute — no Rust toolchain exists in this environment, so
+the reference's own physical-validation scenes are checked against closed
+forms instead; methodology mirrors src/bin/compare_exr.rs:38-60).
+
+- candela calibration: a 555.17nm spike emitter must produce the photopic
+  peak luminance (reference scene data/scenes/candela_calibration.toml)
+- sampling-method consistency: NEE+MIS and pure-BSDF estimators converge
+  to the same image (reference scene test_sampling_methods.toml)
+"""
+
+import numpy as np
+import jax
+import pytest
+
+from pathtracer_tpu.core.bounds import Bounds1D
+from pathtracer_tpu.integrator.pt import PTSettings
+from pathtracer_tpu.parsing.cameras import build_camera
+from pathtracer_tpu.parsing.construct import construct_world
+from pathtracer_tpu.renderer import render_sampled
+
+pytestmark = pytest.mark.slow  # heavy render test (see pytest.ini)
+
+SEARCH = ["/root/repo", "/root/reference"]
+
+
+def test_candela_calibration():
+    """The 540THz (555.17nm) unit-area spike emitter viewed head-on:
+    Y = ∫ȳ(λ)·(spike(λ)/π)dλ ≈ ȳ(555.17)/π (the candela's photopic peak).
+    Expected value computed by quadrature from the same baked curve the
+    renderer uses — the render must match within MC noise (<1%)."""
+    from pathtracer_tpu.core import cie, spectral
+    import jax.numpy as jnp
+
+    bundle = construct_world(
+        "/root/reference/data/scenes/candela_calibration.toml",
+        search_paths=SEARCH, cache_dir="/tmp/pt_cache",
+    )
+    world = bundle.world
+    cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
+    # quadrature of the emitted spectrum through the CIE ȳ row
+    emit_idx = int(np.asarray(world.mats.emit_idx[world.prims.material_id[
+        int(np.asarray(world.lights[0]))]]))
+    lams = jnp.linspace(380.0, 780.0, 2001)
+    spd = spectral.evaluate(world.bank, jnp.full(lams.shape, emit_idx, jnp.int32), lams)
+    ybar = cie.wavelength_to_xyz(lams, jnp.ones_like(lams))[:, 1]
+    expected_y = float(jnp.trapezoid(spd * ybar, lams)) / np.pi
+
+    res = 16
+    # narrow per-settings wavelength bounds bracket the 2nm spike (a
+    # RenderSettings capability, config.rs wavelength_bounds) — uniform-λ
+    # sampling of a spike over the full visible range is needle-in-haystack
+    film, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=2, min_bounces=2, light_samples=1,
+                               russian_roulette=False,
+                               wavelength_bounds=Bounds1D(545.0, 565.0)),
+        res, res, min_samples=1024, key=jax.random.PRNGKey(0), sample_chunk=64,
+    )
+    # center pixels all see the emitting sphere head-on
+    c0, c1 = res // 2 - 2, res // 2 + 2
+    got_y = float(np.asarray(film[c0:c1, c0:c1, 1]).mean())
+    assert got_y == pytest.approx(expected_y, rel=0.025), (got_y, expected_y)
+
+
+def test_sampling_methods_consistency():
+    """reference test_sampling_methods.toml: the NEE+MIS estimator and the
+    BSDF-only estimator are unbiased for the same image -> means agree."""
+    bundle = construct_world(
+        "/root/reference/data/scenes/test_sampling_methods.toml",
+        search_paths=SEARCH, cache_dir="/tmp/pt_cache",
+    )
+    world = bundle.world
+    cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
+    res = 12
+    # depth 8 on both sides: NEE's final-vertex connection adds one path
+    # length class over bsdf-only at equal max_bounces; at depth 8 the
+    # mismatched tail class is negligible
+    nee, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=8, min_bounces=8, light_samples=2,
+                               russian_roulette=False),
+        res, res, min_samples=192, key=jax.random.PRNGKey(1), sample_chunk=48,
+    )
+    bsdf_only, _, _ = render_sampled(
+        world, cam, PTSettings(max_bounces=8, min_bounces=8, light_samples=0,
+                               russian_roulette=False),
+        res, res, min_samples=4096, key=jax.random.PRNGKey(2), sample_chunk=256,
+    )
+    y1 = float(np.asarray(nee[..., 1]).mean())
+    y2 = float(np.asarray(bsdf_only[..., 1]).mean())
+    assert y1 > 0 and y2 > 0
+    assert abs(y1 - y2) / y1 < 0.05, (y1, y2)
