@@ -1,72 +1,93 @@
-"""Benchmark: Cornell box PT throughput on the real chip.
+"""Benchmark: PT throughput on the real chip across the three accelerator
+paths — dense sweep (Cornell), single-level BVH (diamond gem), two-level
+TLAS/BLAS (instanced diamond arrangement).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference renderer's 23.9 Mrays/sec on a 20-thread CPU
-(reference data/config.toml:7-9; see BASELINE.md).
+(reference data/config.toml:7-9; see BASELINE.md). The primary metric stays
+the 1080p Cornell PT number for round-over-round comparability; the BVH and
+two-level numbers ride along as extra keys.
 """
 
 from __future__ import annotations
 
 import json
-import sys
 import time
+import traceback
 
 BASELINE_MRAYS = 23.9
 
 
-def main():
+def _bench_scene(scene_path, spp, width=1080, height=1080, pixel_batch=None,
+                 light_samples=2):
     import jax
 
-    from pathtracer_tpu.core import sampling
     from pathtracer_tpu.integrator.pt import PTSettings
     from pathtracer_tpu.parsing.cameras import build_camera
     from pathtracer_tpu.parsing.construct import construct_world
-    from pathtracer_tpu.renderer.persistent import _regen_pass
-    from pathtracer_tpu.utils.profile import Profile
+    from pathtracer_tpu.renderer.persistent import render_regen
 
-    width = height = 1080
-    spp_chunk = 12
     bundle = construct_world(
-        "data/scenes/cornell_box.toml",
+        scene_path,
         search_paths=["/root/repo", "/root/reference"],
         cache_dir="/tmp/pt_cache",
     )
     # config_test_cornell_box.toml settings: PT, light_samples=2, bounces 1..12
     settings = PTSettings(
-        max_bounces=12, min_bounces=1, light_samples=2,
+        max_bounces=12, min_bounces=1, light_samples=light_samples,
         russian_roulette=True, only_direct=False,
     )
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
-    key = jax.random.PRNGKey(0)
+    # warm-up/compile
+    film, prof, el = render_regen(
+        bundle.world, camera, settings, width, height, spp,
+        key=jax.random.PRNGKey(0), pixel_batch=pixel_batch,
+    )
+    # timed
+    film, prof, el = render_regen(
+        bundle.world, camera, settings, width, height, spp,
+        key=jax.random.PRNGKey(1), pixel_batch=pixel_batch,
+    )
+    return prof.total_rays / el / 1e6, spp / el
 
-    # warm-up/compile (sample-regeneration wavefront, renderer/persistent.py)
-    film, counters = _regen_pass(bundle.world, camera, sampling.fold(key, 0),
-                                 settings, width, height, spp_chunk)
-    film.block_until_ready()
 
-    # timed: 2 passes
-    n_timed = 2
-    t0 = time.perf_counter()
-    total = None
-    for i in range(1, n_timed + 1):
-        film, counters = _regen_pass(bundle.world, camera, sampling.fold(key, i),
-                                     settings, width, height, spp_chunk)
-        total = counters if total is None else total + counters
-    film.block_until_ready()
-    total.block_until_ready()
-    elapsed = time.perf_counter() - t0
+def main():
+    import jax
 
-    profile = Profile().add_device_counts(total)
-    mrays = profile.total_rays / elapsed / 1e6
-    spp_sec = n_timed * spp_chunk / elapsed
     result = {
         "metric": "cornell_1080p_pt_mrays_per_chip",
-        "value": round(mrays, 2),
+        "value": 0.0,
         "unit": "Mrays/sec",
-        "vs_baseline": round(mrays / BASELINE_MRAYS, 3),
-        "spp_per_sec_1080p": round(spp_sec, 3),
+        "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
+    try:
+        mrays, spp_s = _bench_scene("data/scenes/cornell_box.toml", spp=24)
+        result["value"] = round(mrays, 2)
+        result["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
+        result["spp_per_sec_1080p"] = round(spp_s, 3)
+    except Exception:
+        traceback.print_exc()
+    # single-level BVH path (302-triangle gem; > DENSE_MAX_PRIMS)
+    try:
+        mrays, spp_s = _bench_scene(
+            "/root/reference/data/scenes/cornell_box_diamond_gem.toml",
+            spp=8, pixel_batch=1080 * 135,
+        )
+        result["gem_1080p_mrays_bvh"] = round(mrays, 2)
+        result["gem_spp_per_sec"] = round(spp_s, 3)
+    except Exception:
+        traceback.print_exc()
+    # two-level TLAS/BLAS path (24 shared-BLAS diamond instances)
+    try:
+        mrays, spp_s = _bench_scene(
+            "data/scenes/diamond_arrangement_instanced.toml",
+            spp=8, pixel_batch=1080 * 135,
+        )
+        result["arrangement_1080p_mrays_two_level"] = round(mrays, 2)
+        result["arrangement_spp_per_sec"] = round(spp_s, 3)
+    except Exception:
+        traceback.print_exc()
     print(json.dumps(result))
 
 
