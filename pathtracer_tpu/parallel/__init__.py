@@ -3,6 +3,7 @@ from pathtracer_tpu.parallel.mesh import (
     render_chunk_sharded,
     render_regen_sharded,
     render_sampled_sharded,
+    render_splatted_sharded,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "render_chunk_sharded",
     "render_regen_sharded",
     "render_sampled_sharded",
+    "render_splatted_sharded",
 ]

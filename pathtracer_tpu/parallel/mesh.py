@@ -135,6 +135,49 @@ def render_regen_sharded(world, camera, settings: PTSettings, width: int,
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
+def render_splatted_sharded(world, camera, settings, width: int, height: int,
+                            min_samples: int, mesh: Mesh, key=None,
+                            paths_per_device: int | None = None):
+    """Multi-device light tracing: LIGHT PATHS are sharded over the mesh
+    (each device walks its own particle population against the replicated
+    World and scatter-adds into a local film), and the per-device splat
+    films + Profile counters are `psum`-reduced over ICI — the TPU-native
+    replacement for the reference's crossbeam splat channel
+    (src/renderer/naive.rs:173-245).
+
+    Returns (light_film [H,W,3] normalised, Profile, elapsed)."""
+    from pathtracer_tpu.integrator.lt import lt_trace
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n_pix = width * height
+    n_dev = mesh.devices.size
+    total_paths = n_pix * min_samples
+    per_dev = paths_per_device or -(-total_paths // n_dev)
+
+    def local(world, camera, key):
+        me = jax.lax.axis_index(TILE_AXIS)
+        kd = sampling.fold(key, me)
+        film, counters = lt_trace(world, camera, settings, width, height,
+                                  per_dev, kd)
+        return (jax.lax.psum(film, TILE_AXIS),
+                jax.lax.psum(counters, TILE_AXIS))
+
+    fn = jax.jit(_shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+    ))
+    t0 = time.perf_counter()
+    film, counters = fn(world, camera, key)
+    film.block_until_ready()
+    elapsed = time.perf_counter() - t0
+    film = film * (float(n_pix) / float(per_dev * n_dev))
+    profile = Profile().add_device_counts(counters)
+    return jnp.reshape(film, (height, width, 3)), profile, elapsed
+
+
 def render_sampled_sharded(world, camera, settings: PTSettings, width: int,
                            height: int, min_samples: int, mesh: Mesh,
                            key=None, sample_chunk: int = 8, progress=None):

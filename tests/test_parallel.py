@@ -75,3 +75,32 @@ def test_tiled_renderer_routes_to_sharded_regen():
     assert f.shape == (16, 16, 3)
     assert np.isfinite(f).all()
     assert profile.total_rays > 0
+
+
+def test_splatted_sharded_matches_single():
+    """Sharded LT (light paths over the mesh, psum'd splat films) must be an
+    unbiased estimator of the single-device LT film."""
+    from pathtracer_tpu.integrator.lt import LTSettings
+    from pathtracer_tpu.parallel import render_splatted_sharded
+    from pathtracer_tpu.renderer.splatted import render_splatted
+
+    bundle = _bundle()
+    world = bundle.world
+    cam = build_camera(bundle.camera_by_id("main"), 1.0)
+    settings = LTSettings(max_bounces=3, min_bounces=3, camera_samples=1,
+                          russian_roulette=False)
+    res = 16
+    mesh = make_render_mesh(8)
+    f_sh, prof_sh, _ = render_splatted_sharded(
+        world, cam, settings, res, res, min_samples=160, mesh=mesh,
+        key=jax.random.PRNGKey(3),
+    )
+    f_1, _, _ = render_splatted(
+        world, cam, settings, res, res, min_samples=160,
+        key=jax.random.PRNGKey(4),
+    )
+    y_sh = float(np.asarray(f_sh[..., 1]).mean())
+    y_1 = float(np.asarray(f_1[..., 1]).mean())
+    assert prof_sh.light_rays > 0
+    assert y_sh > 0
+    assert abs(y_sh - y_1) / y_1 < 0.1, (y_sh, y_1)
