@@ -88,7 +88,43 @@ def main():
         result["arrangement_spp_per_sec"] = round(spp_s, 3)
     except Exception:
         traceback.print_exc()
+    # BDPT + LT on the Cornell box at 512² (BASELINE configs)
+    try:
+        result.update(_bench_bdpt_lt())
+    except Exception:
+        traceback.print_exc()
     print(json.dumps(result))
+
+
+def _bench_bdpt_lt(width=512, height=512):
+    import jax
+
+    from pathtracer_tpu.integrator.bdpt import BDPTSettings
+    from pathtracer_tpu.integrator.lt import LTSettings
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.parsing.construct import construct_world
+    from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
+    from pathtracer_tpu.renderer.splatted import render_splatted
+
+    bundle = construct_world(
+        "data/scenes/cornell_box.toml",
+        search_paths=["/root/repo", "/root/reference"],
+        cache_dir="/tmp/pt_cache", camera_surfaces=True,
+    )
+    camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
+    out = {}
+    # warm-up + timed (render_* return elapsed)
+    bd = BDPTSettings(max_depth=6)
+    render_bdpt(bundle.world, camera, bd, width, height, 1, key=jax.random.PRNGKey(0))
+    _, prof, el = render_bdpt(bundle.world, camera, bd, width, height, 2,
+                              key=jax.random.PRNGKey(1))
+    out["bdpt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
+    lt = LTSettings(max_bounces=8)
+    render_splatted(bundle.world, camera, lt, width, height, 1, key=jax.random.PRNGKey(0))
+    _, prof, el = render_splatted(bundle.world, camera, lt, width, height, 4,
+                                  key=jax.random.PRNGKey(1))
+    out["lt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
+    return out
 
 
 if __name__ == "__main__":

@@ -247,13 +247,12 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
         in_leaf = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] < pcount[:, None]
         do_leaf = (live & box_hit & is_leaf)[:, None]
         t = jnp.where(do_leaf & in_leaf, t, jnp.inf)
-        c_arg = jnp.argmin(t, axis=-1)
-        c_t = jnp.take_along_axis(t, c_arg[:, None], axis=-1)[:, 0]
+        # min+where selection, NOT argmin+take_along_axis (TPU VPU cliff)
+        c_t = jnp.min(t, axis=-1)
+        id_c = jnp.min(jnp.where(t <= c_t[:, None], leaf_prims, jnp.int32(2**30)), axis=-1)
         better = c_t < t_best
         t_best = jnp.where(better, c_t, t_best)
-        best_prim = jnp.where(
-            better, jnp.take_along_axis(leaf_prims, c_arg[:, None], axis=-1)[:, 0], best_prim
-        )
+        best_prim = jnp.where(better, id_c, best_prim)
         best_inst = jnp.where(better, inst, best_inst)
 
         # ---- pointer transitions

@@ -32,6 +32,9 @@ PRIM_RECT = 2
 PRIM_DISK = 3
 
 _CHUNK = 16  # primitive chunk width for the dense sweep
+# chunk-loop unroll threshold: unrolled sweeps fuse into ONE XLA kernel
+# (the lax.scan form round-trips the carry and runs ~100x slower on TPU)
+_UNROLL_MAX = 8
 
 
 class Primitives(NamedTuple):
@@ -85,23 +88,31 @@ def _t_triangle(pa, pb, pc, o, d, t_min, t_max):
     f64 fallback resolution); no leaks at grazing angles.
     All args broadcast (ray batch × prim chunk)."""
     ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
-    # kz = argmax |d|, kx/ky the cyclic others (winding preserved)
-    kz = jnp.where(ax > ay, jnp.where(ax > az, 0, 2), jnp.where(ay > az, 1, 2))
-    kx = (kz + 1) % 3
-    ky = (kx + 1) % 3
+    # kz = argmax |d|, kx/ky the cyclic others (winding preserved).
+    # Selection is via vectorized where-masks, NOT take_along_axis: per-lane
+    # dynamic component indexing lowers to catastrophic scalar code on the
+    # TPU VPU (measured ~100x whole-sweep slowdown).
+    kz_x = (ax > ay) & (ax > az)
+    kz_y = ~kz_x & (ay > az)
+    kz_z = ~kz_x & ~kz_y
 
-    def comp(v, k):
-        return jnp.take_along_axis(v, k[..., None], axis=-1)[..., 0]
+    def comp_cyclic(v):
+        """Returns (v[kx], v[ky], v[kz]) with kx=(kz+1)%3, ky=(kz+2)%3."""
+        vx, vy, vz = v[..., 0], v[..., 1], v[..., 2]
+        c_kz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
+        c_kx = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
+        c_ky = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
+        return c_kx, c_ky, c_kz
 
-    dz = comp(d, kz)
+    dx_, dy_, dz = comp_cyclic(d)
     inv_dz = 1.0 / jnp.where(jnp.abs(dz) > 1e-30, dz, 1.0)
-    sx = -comp(d, kx) * inv_dz
-    sy = -comp(d, ky) * inv_dz
+    sx = -dx_ * inv_dz
+    sy = -dy_ * inv_dz
 
     def project(v):
         p = v - o
-        pz = comp(p, kz)
-        return comp(p, kx) + sx * pz, comp(p, ky) + sy * pz, pz * inv_dz
+        px, py, pz = comp_cyclic(p)
+        return px + sx * pz, py + sy * pz, pz * inv_dz
 
     x0, y0, z0 = project(pa)
     x1, y1, z1 = project(pb)
@@ -235,7 +246,7 @@ def intersect_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None) -> 
     # so the scan carry's varying-manual-axes type matches the body output
     zero = o[:, 0] * 0.0 + t_min * 0.0
     init = (zero + jnp.inf, zero.astype(jnp.int32) - 1)
-    if n_chunks <= 8:
+    if n_chunks <= _UNROLL_MAX:
         # small scenes: unroll so XLA fuses the whole sweep into one kernel
         carry = init
         for c in range(n_chunks):
@@ -265,7 +276,7 @@ def intersect_any_dense(prims: Primitives, o, d, t_min, t_max, ignore_prim=None)
 
     zero = o[:, 0] * 0.0 + t_min * 0.0
     n_chunks = p // _CHUNK
-    if n_chunks <= 8:
+    if n_chunks <= _UNROLL_MAX:
         blocked = zero > 1.0
         for c in range(n_chunks):
             blocked, _ = body(blocked, chunk_ids[c])

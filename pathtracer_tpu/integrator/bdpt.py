@@ -228,26 +228,36 @@ def _gather(sp: Subpath, idx: int):
     return jax.tree_util.tree_map(lambda a: a[:, idx], sp)
 
 
-def _mis_weight(world, lam, y: Subpath, z: Subpath, s: int, t: int,
+def _mis_weight(world, lam, y: Subpath, z: Subpath, s: int, t: int, max_depth: int,
                 pdf_rev_y_end, pdf_rev_y_prev, pdf_rev_z_end, pdf_rev_z_prev):
     """Balance-heuristic weight for strategy (s,t) over all strategies of the
     same path length (Veach 10.9 via pdf-ratio walk; reference eval_mis,
     bdpt/utils.rs:424-520). The *_end/_prev args are the recomputed reverse
     area pdfs at the junction (pdf of the connection generating those
-    vertices)."""
+    vertices).
+
+    The denominator counts ONLY strategies inside the implemented universe
+    (s' ≤ max_depth, 1 ≤ t' ≤ max_depth): a ratio term for a split the
+    integrator never evaluates would claim probability mass no strategy
+    contributes, biasing every long path low (this was a real ~10% deficit
+    on the Veach MIS scene before the cap)."""
+    n_verts = s + t
     sum_ri = 0.0
-    # eye side: ratio walk z_{t-1} .. z_1 (z_0 = camera, delta position)
+    # eye side: ratio walk z_{t-1} .. z_1 (z_0 = camera, delta position);
+    # term i ↔ strategy (s'=n-i, t'=i)
     ri = 1.0
     for i in range(t - 1, 0, -1):
         rev = pdf_rev_z_end if i == t - 1 else (pdf_rev_z_prev if i == t - 2 else z.pdf_rev[:, i])
         ri = ri * safe_div(_remap0(rev), _remap0(z.pdf_fwd[:, i]))
-        sum_ri = sum_ri + jnp.where(z.valid[:, i], ri, 0.0)
-    # light side: ratio walk y_{s-1} .. y_0
+        if n_verts - i <= max_depth:
+            sum_ri = sum_ri + jnp.where(z.valid[:, i], ri, 0.0)
+    # light side: ratio walk y_{s-1} .. y_0; term i ↔ strategy (s'=i, t'=n-i)
     ri = 1.0
     for i in range(s - 1, -1, -1):
         rev = pdf_rev_y_end if i == s - 1 else (pdf_rev_y_prev if i == s - 2 else y.pdf_rev[:, i])
         ri = ri * safe_div(_remap0(rev), _remap0(y.pdf_fwd[:, i]))
-        sum_ri = sum_ri + jnp.where(y.valid[:, i], ri, 0.0)
+        if n_verts - i <= max_depth:
+            sum_ri = sum_ri + jnp.where(y.valid[:, i], ri, 0.0)
     return 1.0 / (1.0 + sum_ri)
 
 
@@ -348,7 +358,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             ),
             0.0,
         ) if t >= 2 else 0.0
-        w = _mis_weight(world, lam, y, z, 0, t, 0.0, 0.0, pdf_rev_z_end, pdf_rev_z_prev)
+        w = _mis_weight(world, lam, y, z, 0, t, D, 0.0, 0.0, pdf_rev_z_end, pdf_rev_z_prev)
         own = own + jnp.where(ok, zv.beta * le * w, 0.0)
 
     # ---------- s >= 1, t >= 2: vertex connections
@@ -440,7 +450,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
                 pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
             else:
                 pdf_rev_y_prev = 0.0
-            w = _mis_weight(world, lam, y, z, s, t,
+            w = _mis_weight(world, lam, y, z, s, t, D,
                             pdf_rev_y_end, pdf_rev_y_prev,
                             pdf_rev_z_end, pdf_rev_z_prev)
             own = own + jnp.where(worth & ~blocked, contrib * w, 0.0)
@@ -485,7 +495,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             frame_y.to_local(-yv.wi), TransportMode.Importance,
         )
         pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
-        w = _mis_weight(world, lam, y, z, s, 1, pdf_rev_y_end, pdf_rev_y_prev, 0.0, 0.0)
+        w = _mis_weight(world, lam, y, z, s, 1, D, pdf_rev_y_end, pdf_rev_y_prev, 0.0, 0.0)
         ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
         splat_uv.append(jnp.stack([fu, fv], axis=-1))
         splat_e.append(jnp.where(ok, contrib * w, 0.0))
@@ -517,7 +527,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         )
         cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
         pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
-        w = _mis_weight(world, lam, y, z, 1, 1, pdf_rev_y_end, 0.0, 0.0, 0.0)
+        w = _mis_weight(world, lam, y, z, 1, 1, D, pdf_rev_y_end, 0.0, 0.0, 0.0)
         ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
         splat_uv.append(jnp.stack([fu, fv], axis=-1))
         splat_e.append(jnp.where(ok, contrib * w, 0.0))

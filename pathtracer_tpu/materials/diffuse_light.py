@@ -37,5 +37,9 @@ def emission_diffuse(spd_value, sidedness, cos_theta):
 
 def emission_pdf_diffuse(sidedness, cos_theta):
     """Directional (solid-angle) pdf of sample_emission for MIS/BDPT:
-    cosine-hemisphere on the emitting side."""
-    return jnp.abs(cos_theta) / jnp.pi * sidedness_gate(sidedness, cos_theta)
+    cosine-hemisphere on the emitting side. Dual-sided lights split the
+    sample between hemispheres, so each direction's density halves — this
+    MUST match _sample_emission_direction's pdf exactly or BDPT/LT MIS
+    weights stop summing to 1 (a real ~10% veach-scene deficit)."""
+    pdf = jnp.abs(cos_theta) / jnp.pi * sidedness_gate(sidedness, cos_theta)
+    return jnp.where(sidedness == SIDE_DUAL, pdf * 0.5, pdf)

@@ -20,7 +20,11 @@ def emission_sharp(spd_value, sharpness, sidedness, cos_theta):
 
 
 def emission_pdf_sharp(sharpness, sidedness, cos_theta):
-    """Directional pdf of the cosine-power emission sampler."""
+    """Directional pdf of the cosine-power emission sampler (Dual-sided
+    lights halve the per-direction density — must match the sampler)."""
+    from pathtracer_tpu.materials.diffuse_light import SIDE_DUAL
+
     n = sharpness
     pdf = (n + 1.0) * jnp.abs(cos_theta) ** n / (2.0 * jnp.pi)
-    return pdf * sidedness_gate(sidedness, cos_theta)
+    pdf = pdf * sidedness_gate(sidedness, cos_theta)
+    return jnp.where(sidedness == SIDE_DUAL, pdf * 0.5, pdf)

@@ -591,6 +591,16 @@ class SceneBuilder:
                 arr = np.concatenate([arr, np.full((pad,), fill, np.int32)])
             return jnp.asarray(arr)
 
+        # prune unused transforms: an all-identity table enables the
+        # intersector's static fast path (a vestigial entry — e.g. a mesh
+        # transform that was baked into vertices — costs ~16x on TPU by
+        # forcing per-(ray,prim) 4x4 gathers in every sweep)
+        used = sorted({x.transform_id for x in self.prims} | {0})
+        remap = {old: new for new, old in enumerate(used)}
+        if len(used) < len(self.transforms):
+            for x in self.prims:
+                x.transform_id = remap[x.transform_id]
+            self.transforms = [self.transforms[i] for i in used]
         xf_fwd = np.stack(self.transforms).astype(np.float32)
         xf_inv = np.stack([np.linalg.inv(t) for t in self.transforms]).astype(np.float32)
         prims = Primitives(

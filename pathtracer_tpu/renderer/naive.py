@@ -28,7 +28,7 @@ from pathtracer_tpu.utils.profile import Profile
 from pathtracer_tpu.utils import profile as prof
 
 
-@partial(jax.jit, static_argnames=("settings", "width", "height", "chunk", "batch_n"))
+@partial(jax.jit, static_argnames=("settings", "width", "height", "chunk", "start", "batch_n"))
 def _render_chunk(world, camera, key, settings: PTSettings, width: int, height: int,
                   chunk: int, start: int = 0, batch_n: int | None = None):
     n = batch_n or (width * height)

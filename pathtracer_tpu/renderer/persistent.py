@@ -40,11 +40,14 @@ def render_persistent(world, camera, settings: PTSettings, width: int,
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
-@partial(jax.jit, static_argnames=("settings", "width", "height", "spp", "batch_n"))
+@partial(jax.jit, static_argnames=("settings", "width", "height", "spp", "start", "batch_n"))
 def _regen_pass(world, camera, key, settings: PTSettings, width: int,
-                height: int, spp: int, start=0, batch_n: int | None = None):
-    # `start` is a TRACED scalar: every pixel batch shares one compiled
-    # program (a static start meant one multi-minute TPU compile per batch)
+                height: int, spp: int, start: int = 0, batch_n: int | None = None):
+    # `start` MUST be static: a traced pixel offset blocks XLA from
+    # const-folding the lane->pixel mapping — measured 200x+ slower steps
+    # AND 5x+ longer compiles on TPU. Batched renders pay one compile per
+    # batch offset instead (rarely needed now the dense path covers
+    # mid-size scenes).
     from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
 
     acc, counters = pt_trace_regen(world, camera, settings, width, height, spp,
@@ -69,8 +72,8 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
 
     for b in range(n_pix // batch_n):
         f, c = _regen_pass(world, camera, _sampling.fold(key, 77 + b), settings,
-                           width, height, min_samples,
-                           start=_jnp.int32(b * batch_n), batch_n=batch_n)
+                           width, height, min_samples, start=b * batch_n,
+                           batch_n=batch_n)
         films.append(f)
         counters_total = c if counters_total is None else counters_total + c
     film = _jnp.concatenate(films, axis=0)

@@ -87,10 +87,14 @@ def env_pdf_for(env: Environment, d):
     # uniform uv sampling over the sphere
     uniform_pdf = 1.0 / _uv_solid_angle_jacobian(v)
     h, w = env.imp_pdf.shape
-    yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    imp_uv_pdf = env.imp_pdf[yi, xi]
-    imp_pdf = imp_uv_pdf / _uv_solid_angle_jacobian(v)
+    if (h, w) == (1, 1):
+        # static placeholder table (Constant/Sun) — branch value unused
+        imp_pdf = uniform_pdf
+    else:
+        yi = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+        xi = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+        imp_uv_pdf = env.imp_pdf[yi, xi]
+        imp_pdf = imp_uv_pdf / _uv_solid_angle_jacobian(v)
     # sun: uniform over the cap
     cap_area = 2.0 * jnp.pi * (1.0 - env.sun_cos_angle)
     sun_in = vecmath.dot(d, env.sun_direction) >= env.sun_cos_angle
@@ -110,27 +114,41 @@ def env_sample_uv(env: Environment, u1, u2):
     # uniform-uv branch
     v_uni = u2
     u_uni = u1
-    # importance-map branch: 2-level inverse transform
     h, w = env.imp_pdf.shape
-    yi = jnp.searchsorted(env.imp_marginal_cdf, u1, side="right") - 1
-    yi = jnp.clip(yi, 0, h - 1)
-    row = env.imp_row_cdf[yi]
-    xi = jax_searchsorted_rows(row, u2) - 1
-    xi = jnp.clip(xi, 0, w - 1)
-    # interpolate within the CDF cell (the reference lerps inside the texel,
-    # src/world/importance_map.rs:325-357) — avoids direction banding from
-    # low-res importance maps returning texel centers
-    m0 = env.imp_marginal_cdf[yi]
-    m1 = env.imp_marginal_cdf[yi + 1]
-    fy = jnp.clip(safe_cdf_frac(u1 - m0, m1 - m0), 0.0, 1.0)
-    r0 = jnp.take_along_axis(row, xi[..., None], axis=-1)[..., 0]
-    r1 = jnp.take_along_axis(row, xi[..., None] + 1, axis=-1)[..., 0]
-    fx = jnp.clip(safe_cdf_frac(u2 - r0, r1 - r0), 0.0, 1.0)
-    u_imp = (xi.astype(jnp.float32) + fx) / w
-    v_imp = (yi.astype(jnp.float32) + fy) / h
-    use_imp = (env.kind == ENV_HDR) & env.imp_baked
-    uu = jnp.where(use_imp, u_imp, u_uni)
-    vv = jnp.where(use_imp, v_imp, v_uni)
+    if (h, w) == (1, 1):
+        # STATIC fast path: Constant/Sun environments carry 1x1 placeholder
+        # importance tables and never take the importance branch — compiling
+        # the 2-level inverse transform anyway measurably bloats and slows
+        # every render (the masked branch still executes per NEE sample)
+        uu, vv = u_uni, v_uni
+    else:
+        # importance-map branch: 2-level inverse transform with intra-texel
+        # CDF interpolation (the reference lerps inside the texel,
+        # src/world/importance_map.rs:325-357 — avoids direction banding).
+        # EVERYTHING here is gather-free: per-lane dynamic indexing
+        # (searchsorted row gathers, take_along_axis) lowers to catastrophic
+        # scalar code on the TPU VPU. Selection is sum-of-less-than +
+        # one-hot contractions instead (fine for the ≤64x32 importance maps
+        # used here; O(N·H·W) overall).
+        mcdf = env.imp_marginal_cdf  # [H+1]
+        yi = jnp.sum((mcdf[None, :] <= u1[:, None]).astype(jnp.int32), axis=-1) - 1
+        yi = jnp.clip(yi, 0, h - 1)
+        oh_y = (jnp.arange(h, dtype=jnp.int32)[None, :] == yi[:, None]).astype(jnp.float32)
+        row = oh_y @ env.imp_row_cdf  # [N, W+1] — MXU one-hot row select
+        xi = jax_searchsorted_rows(row, u2) - 1
+        xi = jnp.clip(xi, 0, w - 1)
+        m0 = jnp.sum(jnp.where(jnp.arange(h + 1)[None, :] == yi[:, None], mcdf[None, :], 0.0), axis=-1)
+        m1 = jnp.sum(jnp.where(jnp.arange(h + 1)[None, :] == yi[:, None] + 1, mcdf[None, :], 0.0), axis=-1)
+        fy = jnp.clip(safe_cdf_frac(u1 - m0, m1 - m0), 0.0, 1.0)
+        cols = jnp.arange(row.shape[-1], dtype=jnp.int32)[None, :]
+        r0 = jnp.sum(jnp.where(cols == xi[..., None], row, 0.0), axis=-1)
+        r1 = jnp.sum(jnp.where(cols == xi[..., None] + 1, row, 0.0), axis=-1)
+        fx = jnp.clip(safe_cdf_frac(u2 - r0, r1 - r0), 0.0, 1.0)
+        u_imp = (xi.astype(jnp.float32) + fx) / w
+        v_imp = (yi.astype(jnp.float32) + fy) / h
+        use_imp = (env.kind == ENV_HDR) & env.imp_baked
+        uu = jnp.where(use_imp, u_imp, u_uni)
+        vv = jnp.where(use_imp, v_imp, v_uni)
     # sun branch: uniform in the cap
     d_uv = vecmath.uv_to_direction(uu, vv)
     d_world = jnp.einsum("ij,...j->...i", env.rotation_inv, d_uv)

@@ -26,8 +26,11 @@ from pathtracer_tpu.textures import Textures
 from pathtracer_tpu.world.environment import Environment
 
 # below this primitive count the dense rays×prims sweep beats divergent
-# traversal on TPU (VPU-saturating, no gathers); above it, the stackless BVH
-DENSE_MAX_PRIMS = 256
+# traversal on TPU (VPU-saturating, no gathers); above it, the stackless BVH.
+# Measured on v5e (1M-ray wavefronts, diamond-gem scene): dense 320 prims
+# ≈ 0.4 s/Mray vs per-ray traversal ≈ 13 s/Mray — the lockstep traversal's
+# per-step gathers dominate until scenes get several thousand prims.
+DENSE_MAX_PRIMS = 1024
 
 
 class World(NamedTuple):

@@ -49,9 +49,10 @@ def box_scene():
 def test_bdpt_matches_pt_mean(box_scene):
     world, cam = box_scene
     res = 12
-    # paths of length <= 3 segments on both sides
+    # matched coverage: BDPT max_depth=3 integrates <=5-segment paths
+    # (s+t-1); PT with final-vertex NEE integrates <= max_bounces+1
     pt_film, _, _ = render_sampled(
-        world, cam, PTSettings(max_bounces=3, min_bounces=3, light_samples=1,
+        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=1,
                                russian_roulette=False),
         res, res, min_samples=300, key=jax.random.PRNGKey(5), sample_chunk=75,
     )
@@ -132,7 +133,7 @@ def test_bdpt_thin_lens_aperture_matches_pt(box_scene):
     )
     res = 12
     pt_film, _, _ = render_sampled(
-        world, cam, PTSettings(max_bounces=3, min_bounces=3, light_samples=1,
+        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=1,
                                russian_roulette=False),
         res, res, min_samples=300, key=jax.random.PRNGKey(10), sample_chunk=75,
     )
