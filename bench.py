@@ -61,38 +61,41 @@ def main():
         "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
-    try:
-        mrays, spp_s = _bench_scene("data/scenes/cornell_box.toml", spp=24)
+
+    def retry(fn, tries=2):
+        # the axon tunnel throws transient UNAVAILABLE device errors;
+        # one retry after a cool-down recovers most of them
+        for i in range(tries):
+            try:
+                return fn()
+            except Exception:
+                traceback.print_exc()
+                if i + 1 < tries:
+                    time.sleep(60)
+        return None
+
+    r = retry(lambda: _bench_scene("data/scenes/cornell_box.toml", spp=12))
+    if r is not None:
+        mrays, spp_s = r
         result["value"] = round(mrays, 2)
         result["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
         result["spp_per_sec_1080p"] = round(spp_s, 3)
-    except Exception:
-        traceback.print_exc()
-    # single-level BVH path (302-triangle gem; > DENSE_MAX_PRIMS)
-    try:
-        mrays, spp_s = _bench_scene(
-            "/root/reference/data/scenes/cornell_box_diamond_gem.toml",
-            spp=8, pixel_batch=1080 * 135,
-        )
-        result["gem_1080p_mrays_bvh"] = round(mrays, 2)
-        result["gem_spp_per_sec"] = round(spp_s, 3)
-    except Exception:
-        traceback.print_exc()
+    # mesh-heavy path (302-triangle gem; dense sweep after the 1024 cutoff)
+    r = retry(lambda: _bench_scene(
+        "/root/reference/data/scenes/cornell_box_diamond_gem.toml", spp=8))
+    if r is not None:
+        result["gem_1080p_mrays"] = round(r[0], 2)
+        result["gem_spp_per_sec"] = round(r[1], 3)
     # two-level TLAS/BLAS path (24 shared-BLAS diamond instances)
-    try:
-        mrays, spp_s = _bench_scene(
-            "data/scenes/diamond_arrangement_instanced.toml",
-            spp=8, pixel_batch=1080 * 135,
-        )
-        result["arrangement_1080p_mrays_two_level"] = round(mrays, 2)
-        result["arrangement_spp_per_sec"] = round(spp_s, 3)
-    except Exception:
-        traceback.print_exc()
+    r = retry(lambda: _bench_scene(
+        "data/scenes/diamond_arrangement_instanced.toml", spp=8))
+    if r is not None:
+        result["arrangement_1080p_mrays_two_level"] = round(r[0], 2)
+        result["arrangement_spp_per_sec"] = round(r[1], 3)
     # BDPT + LT on the Cornell box at 512² (BASELINE configs)
-    try:
-        result.update(_bench_bdpt_lt())
-    except Exception:
-        traceback.print_exc()
+    r = retry(_bench_bdpt_lt, tries=1)
+    if r is not None:
+        result.update(r)
     print(json.dumps(result))
 
 
