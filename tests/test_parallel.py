@@ -104,3 +104,24 @@ def test_splatted_sharded_matches_single():
     assert prof_sh.light_rays > 0
     assert y_sh > 0
     assert abs(y_sh - y_1) / y_1 < 0.1, (y_sh, y_1)
+
+
+def test_tiled_phases_preview_callback():
+    """Phased tile rendering (the reference's 10-sample phases with preview
+    snapshots, tiled.rs:279-542): callbacks fire per phase and the final
+    film equals the mean of the phases."""
+    from pathtracer_tpu.renderer.tiled import render_tiled
+
+    bundle = _bundle()
+    cam = build_camera(bundle.camera_by_id("main"), 1.0)
+    s = PTSettings(max_bounces=3, min_bounces=1, light_samples=1)
+    snaps = []
+    film, profile, _ = render_tiled(
+        bundle.world, cam, s, 16, 16, 6, key=jax.random.PRNGKey(2),
+        phase_samples=2,
+        phase_callback=lambda f, done: snaps.append((np.asarray(f), done)),
+    )
+    assert [d for _, d in snaps] == [2, 4, 6]
+    assert np.allclose(snaps[-1][0], np.asarray(film), atol=1e-5)
+    assert profile.total_rays > 0
+    assert np.isfinite(np.asarray(film)).all()
