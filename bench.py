@@ -20,12 +20,18 @@ BASELINE_MRAYS = 23.9
 
 def _bench_scene(scene_path, spp, width=1080, height=1080, pixel_batch=None,
                  light_samples=2):
+    """HONEST timing: the wall clock spans dispatch -> a forced host fetch
+    of the ray counters (np.asarray). `block_until_ready` does NOT await
+    remote execution on the axon tunnel — timing on it reports dispatch
+    latency and once inflated this bench ~200x (the round-1 363 Mrays/s
+    figure was that artifact; see PARITY.md)."""
+    import numpy as np
     import jax
 
     from pathtracer_tpu.integrator.pt import PTSettings
     from pathtracer_tpu.parsing.cameras import build_camera
     from pathtracer_tpu.parsing.construct import construct_world
-    from pathtracer_tpu.renderer.persistent import render_regen
+    from pathtracer_tpu.renderer.persistent import _regen_pass
 
     bundle = construct_world(
         scene_path,
@@ -38,17 +44,18 @@ def _bench_scene(scene_path, spp, width=1080, height=1080, pixel_batch=None,
         russian_roulette=True, only_direct=False,
     )
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
-    # warm-up/compile
-    film, prof, el = render_regen(
-        bundle.world, camera, settings, width, height, spp,
-        key=jax.random.PRNGKey(0), pixel_batch=pixel_batch,
-    )
+    # warm-up/compile (fetch forces completion)
+    film, counters = _regen_pass(bundle.world, camera, jax.random.PRNGKey(0),
+                                 settings, width, height, spp)
+    np.asarray(counters)
     # timed
-    film, prof, el = render_regen(
-        bundle.world, camera, settings, width, height, spp,
-        key=jax.random.PRNGKey(1), pixel_batch=pixel_batch,
-    )
-    return prof.total_rays / el / 1e6, spp / el
+    t0 = time.perf_counter()
+    film, counters = _regen_pass(bundle.world, camera, jax.random.PRNGKey(1),
+                                 settings, width, height, spp)
+    c = np.asarray(counters)
+    el = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(film)).all()
+    return float(c.sum()) / el / 1e6, spp / el
 
 
 def main():
@@ -114,18 +121,27 @@ def _bench_bdpt_lt(width=512, height=512):
         search_paths=["/root/repo", "/root/reference"],
         cache_dir="/tmp/pt_cache", camera_surfaces=True,
     )
+    import numpy as np
+
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
     out = {}
-    # warm-up + timed (render_* return elapsed)
+    # warm-up + honest wall timing (Profile fetch inside render_* forces
+    # completion; renderer-internal elapsed is not trusted on the tunnel)
     bd = BDPTSettings(max_depth=6)
     render_bdpt(bundle.world, camera, bd, width, height, 1, key=jax.random.PRNGKey(0))
-    _, prof, el = render_bdpt(bundle.world, camera, bd, width, height, 2,
-                              key=jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
+    film, prof, _ = render_bdpt(bundle.world, camera, bd, width, height, 2,
+                                key=jax.random.PRNGKey(1))
+    np.asarray(film)
+    el = time.perf_counter() - t0
     out["bdpt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
     lt = LTSettings(max_bounces=8)
     render_splatted(bundle.world, camera, lt, width, height, 1, key=jax.random.PRNGKey(0))
-    _, prof, el = render_splatted(bundle.world, camera, lt, width, height, 4,
-                                  key=jax.random.PRNGKey(1))
+    t0 = time.perf_counter()
+    film, prof, _ = render_splatted(bundle.world, camera, lt, width, height, 4,
+                                    key=jax.random.PRNGKey(1))
+    np.asarray(film)
+    el = time.perf_counter() - t0
     out["lt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
     return out
 

@@ -187,10 +187,17 @@ class MachineCurve(HostCurve):
 
 
 class CurveBank(NamedTuple):
-    """All scene curves baked to one LUT block (a pytree of device arrays)."""
+    """All scene curves baked to one LUT block (a pytree of device arrays).
+
+    `pairs` holds (value[k], value[k+1]) interleaved so a lerp needs ONE
+    flat gather of 2 floats — the naive `values[idx]` row gather
+    materializes an [N, RES] block (gigabytes at wavefront widths) and was
+    the single largest cost of the whole renderer on TPU."""
 
     values: jnp.ndarray  # [C, RES] f32 — curve value at each grid knot
+    pairs: jnp.ndarray  # [C*RES, 2] f32 — (v[k], v[k+1]) per flat knot
     cdf: jnp.ndarray  # [C, RES] f32 — normalised CDF over the grid
+    cdf_pairs: jnp.ndarray  # [C*RES, 2] f32 — (cdf[k], cdf[k+1])
     integral: jnp.ndarray  # [C] f32 — ∫ curve dλ over the grid domain
     lam_lo: float
     lam_hi: float
@@ -213,9 +220,16 @@ def bake_curves(
     cum = np.concatenate([np.zeros((vals.shape[0], 1)), np.cumsum(seg, axis=1)], axis=1)
     total = cum[:, -1:]
     cdf = np.where(total > 0.0, cum / np.maximum(total, 1e-30), np.linspace(0, 1, res)[None, :])
+
+    def pair_pack(a):
+        nxt = np.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+        return np.stack([a, nxt], axis=-1).reshape(-1, 2)
+
     return CurveBank(
         values=jnp.asarray(vals, jnp.float32),
+        pairs=jnp.asarray(pair_pack(vals), jnp.float32),
         cdf=jnp.asarray(cdf, jnp.float32),
+        cdf_pairs=jnp.asarray(pair_pack(cdf), jnp.float32),
         integral=jnp.asarray(total[:, 0], jnp.float32),
         lam_lo=float(bounds.lower),
         lam_hi=float(bounds.upper),
@@ -228,21 +242,20 @@ def bake_raw_values(curves: Sequence[HostCurve], bounds: Bounds1D, res: int) -> 
 
 
 def evaluate(bank: CurveBank, idx, lam):
-    """bank curve `idx` at wavelength(s) `lam` — gather + lerp.
+    """bank curve `idx` at wavelength(s) `lam` — ONE flat pair-gather + lerp.
 
     idx: int array [...]; lam: f32 array broadcastable to idx.
     Equivalent of Curve::evaluate_power (clamped to >= 0 at bake time).
-    """
+    NEVER materialize `values[idx]` rows here: an [N, RES] block is
+    gigabytes at wavefront widths and dominated the whole render."""
     res = bank.values.shape[1]
     idx, lam = jnp.broadcast_arrays(jnp.asarray(idx), jnp.asarray(lam))
     u = (lam - bank.lam_lo) / (bank.lam_hi - bank.lam_lo) * (res - 1)
     u = jnp.clip(u, 0.0, res - 1 - 1e-4)
     i0 = u.astype(jnp.int32)
     frac = u - i0
-    rows = bank.values[idx]  # [..., RES]
-    v0 = jnp.take_along_axis(rows, i0[..., None], axis=-1)[..., 0]
-    v1 = jnp.take_along_axis(rows, jnp.minimum(i0 + 1, res - 1)[..., None], axis=-1)[..., 0]
-    return v0 * (1.0 - frac) + v1 * frac
+    vp = bank.pairs[idx * res + i0]  # [..., 2] single gather
+    return vp[..., 0] * (1.0 - frac) + vp[..., 1] * frac
 
 
 def cdf_at(bank: CurveBank, idx, lam):
@@ -252,10 +265,8 @@ def cdf_at(bank: CurveBank, idx, lam):
     u = jnp.clip(u, 0.0, res - 1 - 1e-4)
     i0 = u.astype(jnp.int32)
     frac = u - i0
-    rows = bank.cdf[idx]
-    v0 = jnp.take_along_axis(rows, i0[..., None], axis=-1)[..., 0]
-    v1 = jnp.take_along_axis(rows, jnp.minimum(i0 + 1, res - 1)[..., None], axis=-1)[..., 0]
-    return v0 * (1.0 - frac) + v1 * frac
+    vp = bank.cdf_pairs[idx * res + i0]  # [..., 2] single gather
+    return vp[..., 0] * (1.0 - frac) + vp[..., 1] * frac
 
 
 def sample_power_and_pdf(bank: CurveBank, idx, u, bounds: Bounds1D):
@@ -271,12 +282,12 @@ def sample_power_and_pdf(bank: CurveBank, idx, u, bounds: Bounds1D):
     cdf_hi = cdf_at(bank, idx, jnp.full_like(u, bounds.upper))
     span = jnp.maximum(cdf_hi - cdf_lo, 1e-9)
     target = cdf_lo + u * span
-    rows = bank.cdf[idx]  # [..., RES]
+    rows = bank.cdf[idx]  # [..., RES] (light-sample rate only, not per bounce)
     # index of first knot with cdf >= target
     i1 = jnp.sum((rows < target[..., None]).astype(jnp.int32), axis=-1)
     i1 = jnp.clip(i1, 1, res - 1)
-    c0 = jnp.take_along_axis(rows, (i1 - 1)[..., None], axis=-1)[..., 0]
-    c1 = jnp.take_along_axis(rows, i1[..., None], axis=-1)[..., 0]
+    cp = bank.cdf_pairs[idx * res + (i1 - 1)]
+    c0, c1 = cp[..., 0], cp[..., 1]
     frac = jnp.clip((target - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0, 1.0)
     step = (bank.lam_hi - bank.lam_lo) / (res - 1)
     lam = bank.lam_lo + ((i1 - 1).astype(jnp.float32) + frac) * step

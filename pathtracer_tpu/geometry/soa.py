@@ -292,17 +292,35 @@ def _fill_attributes(prims: Primitives, o, d, t, pid, hit,
     `m_fwd`/`m_inv`: optional per-ray [N,4,4] transform overrides (the
     two-level accelerator passes the winning instance's transform here;
     see accel/two_level.py)."""
-    pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
-    na, nb, nc = prims.na[pid], prims.nb[pid], prims.nc[pid]
-    ptype = prims.ptype[pid]
+    # ONE packed row gather for all per-prim attributes (separate column
+    # gathers cost ~4ms each at 1M-lane wavefronts on TPU; the pack below is
+    # loop-invariant and hoisted out of the render loop by XLA)
+    attr_pack = jnp.concatenate(
+        [
+            prims.pa, prims.pb, prims.pc, prims.na, prims.nb, prims.nc,
+            prims.ptype.astype(jnp.float32)[:, None],
+            prims.material_id.astype(jnp.float32)[:, None],
+            prims.mat_kind.astype(jnp.float32)[:, None],
+            prims.instance_id.astype(jnp.float32)[:, None],
+            prims.transform_id.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # [P, 23]
+    rows = attr_pack[pid]
+    pa, pb, pc = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    na, nb, nc = rows[:, 9:12], rows[:, 12:15], rows[:, 15:18]
+    ptype = rows[:, 18].astype(jnp.int32)
+    material_id = rows[:, 19].astype(jnp.int32)
+    mat_kind = rows[:, 20].astype(jnp.int32)
+    instance_id = rows[:, 21].astype(jnp.int32)
+    transform_id = rows[:, 22].astype(jnp.int32)
     identity_only = m_fwd is None and prims.xf_inv.shape[0] == 1
     if identity_only:
         o_l, d_l = o, d
     else:
         if m_fwd is None:
-            tid = prims.transform_id[pid]
-            m_fwd = prims.xf_fwd[tid]
-            m_inv = prims.xf_inv[tid]
+            m_fwd = prims.xf_fwd[transform_id]
+            m_inv = prims.xf_inv[transform_id]
         o_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], o) + m_inv[:, :3, 3]
         d_l = jnp.einsum("nij,nj->ni", m_inv[:, :3, :3], d)
     p_l = o_l + t[..., None] * d_l
@@ -370,9 +388,9 @@ def _fill_attributes(prims: Primitives, o, d, t, pid, hit,
         normal=normal,
         geo_normal=geo_normal,
         uv=uv,
-        material_id=jnp.where(hit, prims.material_id[pid], -1),
-        mat_kind=jnp.where(hit, prims.mat_kind[pid], -1),
-        instance_id=jnp.where(hit, prims.instance_id[pid], -1),
+        material_id=jnp.where(hit, material_id, -1),
+        mat_kind=jnp.where(hit, mat_kind, -1),
+        instance_id=jnp.where(hit, instance_id, -1),
         prim_id=jnp.where(hit, pid, -1),
         hit=hit,
     )
@@ -387,11 +405,27 @@ def sample_surface(prims: Primitives, pid, u1, u2):
     Equivalent of Hittable::sample_surface (src/hittable.rs:53-77) across
     all primitive types, vectorised over the batch of picked lights.
     """
-    pa, pb, pc = prims.pa[pid], prims.pb[pid], prims.pc[pid]
-    ptype = prims.ptype[pid]
-    tid = prims.transform_id[pid]
-    m_fwd = prims.xf_fwd[tid]
-    m_inv = prims.xf_inv[tid]
+    # single packed row gather (see _fill_attributes for the rationale)
+    pack = jnp.concatenate(
+        [
+            prims.pa, prims.pb, prims.pc,
+            prims.ptype.astype(jnp.float32)[:, None],
+            prims.transform_id.astype(jnp.float32)[:, None],
+            prims.area[:, None],
+        ],
+        axis=1,
+    )  # [P, 12]
+    rows = pack[pid]
+    pa, pb, pc = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    ptype = rows[:, 9].astype(jnp.int32)
+    tid = rows[:, 10].astype(jnp.int32)
+    area = rows[:, 11]
+    if prims.xf_fwd.shape[0] == 1:
+        m_fwd = jnp.broadcast_to(prims.xf_fwd[0], pid.shape + (4, 4))
+        m_inv = jnp.broadcast_to(prims.xf_inv[0], pid.shape + (4, 4))
+    else:
+        m_fwd = prims.xf_fwd[tid]
+        m_inv = prims.xf_inv[tid]
 
     # triangle
     su = jnp.sqrt(u1)
@@ -425,7 +459,7 @@ def sample_surface(prims: Primitives, pid, u1, u2):
 
     point = jnp.einsum("nij,nj->ni", m_fwd[:, :3, :3], p_l) + m_fwd[:, :3, 3]
     normal = vecmath.normalize(jnp.einsum("nji,nj->ni", m_inv[:, :3, :3], n_l))
-    area_pdf = 1.0 / jnp.maximum(prims.area[pid], 1e-20)
+    area_pdf = 1.0 / jnp.maximum(area, 1e-20)
     return point, normal, area_pdf
 
 

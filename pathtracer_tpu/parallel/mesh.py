@@ -129,9 +129,9 @@ def render_regen_sharded(world, camera, settings: PTSettings, width: int,
     ))
     t0 = time.perf_counter()
     film, counters = fn(world, camera, key)
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Profile value fetch = reliable sync on the axon tunnel
     profile = Profile().add_device_counts(counters)
+    elapsed = time.perf_counter() - t0
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
@@ -171,10 +171,10 @@ def render_splatted_sharded(world, camera, settings, width: int, height: int,
     ))
     t0 = time.perf_counter()
     film, counters = fn(world, camera, key)
-    film.block_until_ready()
+    # Profile value fetch = reliable sync on the axon tunnel
+    profile = Profile().add_device_counts(counters)
     elapsed = time.perf_counter() - t0
     film = film * (float(n_pix) / float(per_dev * n_dev))
-    profile = Profile().add_device_counts(counters)
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
@@ -201,7 +201,7 @@ def render_sampled_sharded(world, camera, settings: PTSettings, width: int,
         if progress is not None:
             progress(done, min_samples)
     film = (film / float(min_samples)).reshape(height, width, 3)
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Profile value fetch = reliable sync on the axon tunnel
     profile.add_device_counts(counters_acc)
+    elapsed = time.perf_counter() - t0
     return film, profile, elapsed

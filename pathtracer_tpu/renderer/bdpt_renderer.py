@@ -57,6 +57,7 @@ def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
     # own-pixel terms average per sample; splats are film-wide measurements:
     # ×(W·H) per-pixel factor, averaged over the N·spp light subpaths
     out = film / min_samples + splats * (float(n) / (n * min_samples))
-    out.block_until_ready()
+    # Profile value fetch = reliable sync on the axon tunnel
+    profile = Profile().add_device_counts(total)
     elapsed = time.perf_counter() - t0
-    return jnp.reshape(out, (height, width, 3)), Profile().add_device_counts(total), elapsed
+    return jnp.reshape(out, (height, width, 3)), profile, elapsed

@@ -103,7 +103,7 @@ def render_sampled(
         if progress is not None:
             progress(done, min_samples)
     film = film / float(min_samples)
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Profile value fetch = reliable sync on the axon tunnel
     profile.add_device_counts(counters_acc)
+    elapsed = time.perf_counter() - t0
     return film.reshape(height, width, 3), profile, elapsed

@@ -34,9 +34,10 @@ def render_persistent(world, camera, settings: PTSettings, width: int,
     film, counters = _persistent_pass(
         world, camera, key, settings, width, height, min_samples, pool_size
     )
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # the Profile value fetch is the reliable sync on the axon tunnel
+    # (block_until_ready returns before remote execution completes)
     profile = Profile().add_device_counts(counters)
+    elapsed = time.perf_counter() - t0
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
@@ -77,7 +78,7 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
         films.append(f)
         counters_total = c if counters_total is None else counters_total + c
     film = _jnp.concatenate(films, axis=0)
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Profile value fetch = reliable sync (see render_persistent note)
     profile = Profile().add_device_counts(counters_total)
+    elapsed = time.perf_counter() - t0
     return _jnp.reshape(film, (height, width, 3)), profile, elapsed

@@ -60,7 +60,7 @@ def render_splatted(
             progress(c + 1, n_chunks)
     # splat sum × (W·H)/n_paths == film-average measurement -> per-pixel value
     film = film * (float(n_pix) / float(n_chunks * chunk))
-    film.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    # Profile value fetch = reliable sync on the axon tunnel
     profile.add_device_counts(counters_acc)
+    elapsed = time.perf_counter() - t0
     return film.reshape(height, width, 3), profile, elapsed
