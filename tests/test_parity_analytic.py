@@ -106,13 +106,18 @@ def test_veach_mis_scene_pt_vs_bdpt():
     world = bundle.world
     cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
     res = 16
+    # coverage containment: every PT(max_bounces=3) path class — pure-bsdf
+    # chains ≤3 segments (incl. the mirror slats' specular light chains,
+    # which only the (0,t) strategies can sample) and NEE-terminated ≤4-seg
+    # paths — exists in BDPT(max_depth=4); BDPT additionally integrates
+    # longer classes, so bd_y ≳ pt_y up to MC noise
     pt_film, _, _ = render_sampled(
-        world, cam, PTSettings(max_bounces=4, min_bounces=4, light_samples=2,
+        world, cam, PTSettings(max_bounces=3, min_bounces=3, light_samples=2,
                                russian_roulette=False),
         res, res, min_samples=256, key=jax.random.PRNGKey(5), sample_chunk=64,
     )
     bd_film, _, _ = render_bdpt(
-        world, cam, BDPTSettings(max_depth=3),
+        world, cam, BDPTSettings(max_depth=4),
         res, res, min_samples=384, key=jax.random.PRNGKey(6),
     )
     pt_y = float(np.asarray(pt_film[..., 1]).mean())
@@ -123,4 +128,4 @@ def test_veach_mis_scene_pt_vs_bdpt():
     # events); at tractable spp the sample mean sits below the true mean.
     # This still catches MIS-weight errors of the 2x class (it caught the
     # Dual-sidedness pdf factor and the strategy-universe cap).
-    assert abs(bd_y - pt_y) / pt_y < 0.15, (pt_y, bd_y)
+    assert abs(bd_y - pt_y) / pt_y < 0.12, (pt_y, bd_y)
