@@ -44,15 +44,24 @@ def _bench_scene(scene_path, spp, width=1080, height=1080, pixel_batch=None,
         russian_roulette=True, only_direct=False,
     )
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
+
+    def one_pass(key):
+        n_pix = width * height
+        batch = pixel_batch or n_pix
+        total = None
+        for bidx in range(n_pix // batch):
+            film, counters = _regen_pass(
+                bundle.world, camera, jax.random.fold_in(key, bidx), settings,
+                width, height, spp, start=bidx * batch, batch_n=batch,
+            )
+            total = counters if total is None else total + counters
+        return film, np.asarray(total)
+
     # warm-up/compile (fetch forces completion)
-    film, counters = _regen_pass(bundle.world, camera, jax.random.PRNGKey(0),
-                                 settings, width, height, spp)
-    np.asarray(counters)
+    film, _ = one_pass(jax.random.PRNGKey(0))
     # timed
     t0 = time.perf_counter()
-    film, counters = _regen_pass(bundle.world, camera, jax.random.PRNGKey(1),
-                                 settings, width, height, spp)
-    c = np.asarray(counters)
+    film, c = one_pass(jax.random.PRNGKey(1))
     el = time.perf_counter() - t0
     assert np.isfinite(np.asarray(film)).all()
     return float(c.sum()) / el / 1e6, spp / el
@@ -87,15 +96,19 @@ def main():
         result["value"] = round(mrays, 2)
         result["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
         result["spp_per_sec_1080p"] = round(spp_s, 3)
-    # mesh-heavy path (302-triangle gem; dense sweep after the 1024 cutoff)
+    # mesh-heavy path (302-triangle gem; dense sweep after the 1024 cutoff).
+    # pixel_batch: full-film 1.17M-lane programs for this scene crash the
+    # tunnel's TPU worker (kernel fault); 583k-lane batches run fine
     r = retry(lambda: _bench_scene(
-        "/root/reference/data/scenes/cornell_box_diamond_gem.toml", spp=8))
+        "/root/reference/data/scenes/cornell_box_diamond_gem.toml", spp=8,
+        pixel_batch=1080 * 540))
     if r is not None:
         result["gem_1080p_mrays"] = round(r[0], 2)
         result["gem_spp_per_sec"] = round(r[1], 3)
     # two-level TLAS/BLAS path (24 shared-BLAS diamond instances)
     r = retry(lambda: _bench_scene(
-        "data/scenes/diamond_arrangement_instanced.toml", spp=8))
+        "data/scenes/diamond_arrangement_instanced.toml", spp=2,
+        pixel_batch=1080 * 540))
     if r is not None:
         result["arrangement_1080p_mrays_two_level"] = round(r[0], 2)
         result["arrangement_spp_per_sec"] = round(r[1], 3)

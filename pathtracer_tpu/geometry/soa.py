@@ -34,7 +34,7 @@ PRIM_DISK = 3
 _CHUNK = 16  # primitive chunk width for the dense sweep
 # chunk-loop unroll threshold: unrolled sweeps fuse into ONE XLA kernel
 # (the lax.scan form round-trips the carry and runs ~100x slower on TPU)
-_UNROLL_MAX = 8
+_UNROLL_MAX = 24  # covers DENSE_MAX_PRIMS/16 chunks; scan carries are slower
 
 
 class Primitives(NamedTuple):
