@@ -197,6 +197,30 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
     (t_best, best_prim, best_inst, hit)."""
     m = acc.n_nodes
     zero = o[:, 0] * 0.0 + t_min * 0.0
+
+    # loop-invariant packed tables: ONE row gather per step instead of ~12
+    # separate per-lane gathers (the dominant loop cost on TPU; ints ride
+    # as exact f32 — node/prim counts are far below 2^24)
+    node_pack = jnp.concatenate(
+        [
+            acc.lo, acc.hi,
+            acc.exit.astype(jnp.float32)[:, None],
+            acc.prim_start.astype(jnp.float32)[:, None],
+            acc.prim_count.astype(jnp.float32)[:, None],
+            acc.node_inst.astype(jnp.float32)[:, None],
+        ],
+        axis=1,
+    )  # [M, 10]
+    identity_only = prims.xf_inv.shape[0] == 1
+    if identity_only:
+        prim_pack = jnp.concatenate(
+            [
+                prims.ptype.astype(jnp.float32)[:, None],
+                prims.pa, prims.pb, prims.pc,
+                prims.valid.astype(jnp.float32)[:, None],
+            ],
+            axis=1,
+        )  # [P, 11]
     i0 = zero.astype(jnp.int32)
     state = (
         jnp.int32(0),  # step counter (malformed-structure guard)
@@ -229,12 +253,14 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
         inv_d = jnp.where(
             jnp.abs(d_cur) > 1e-20, 1.0 / jnp.where(jnp.abs(d_cur) > 1e-20, d_cur, 1.0), 1e20
         )
-        lo = acc.lo[ptr_c]
-        hi = acc.hi[ptr_c]
+        row = node_pack[ptr_c]  # single gather
+        lo = row[:, 0:3]
+        hi = row[:, 3:6]
         _, _, box_hit = slab_test(lo, hi, o_cur, inv_d, t_min, jnp.minimum(t_max, t_best))
-        pstart = acc.prim_start[ptr_c]
-        pcount = acc.prim_count[ptr_c]
-        ninst = acc.node_inst[ptr_c]
+        nxt = row[:, 6].astype(jnp.int32)
+        pstart = row[:, 7].astype(jnp.int32)
+        pcount = row[:, 8].astype(jnp.int32)
+        ninst = row[:, 9].astype(jnp.int32)
         is_leaf = pstart >= 0
         is_inst = ninst >= 0
 
@@ -243,7 +269,14 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
         start = jnp.maximum(pstart, 0)
         leaf_idx = start[:, None] + jnp.arange(LEAF_K, dtype=jnp.int32)[None, :]
         leaf_prims = acc.prim_order[leaf_idx]
-        t = _chunk_ts(prims, leaf_prims, o_cur, d_cur, t_min, jnp.minimum(t_max, t_best))
+        tmax_run = jnp.minimum(t_max, t_best)
+        if identity_only:
+            from pathtracer_tpu.accel.traverse import _leaf_ts_packed
+
+            pp = prim_pack[leaf_prims]  # [N, K, 11] single gather
+            t = _leaf_ts_packed(pp, o_cur, d_cur, t_min, tmax_run)
+        else:
+            t = _chunk_ts(prims, leaf_prims, o_cur, d_cur, t_min, tmax_run)
         in_leaf = jnp.arange(LEAF_K, dtype=jnp.int32)[None, :] < pcount[:, None]
         do_leaf = (live & box_hit & is_leaf)[:, None]
         t = jnp.where(do_leaf & in_leaf, t, jnp.inf)
@@ -258,7 +291,6 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
         # ---- pointer transitions
         enter = live & box_hit & is_inst & ~in_blas
         descend = live & box_hit & ~is_leaf & ~is_inst
-        nxt = acc.exit[ptr_c]
         # pop only when the exit edge is actually taken (a BLAS-root descend
         # must NOT trigger the root's own POP exit sentinel)
         pop = (nxt == POP) & ~descend & ~enter
