@@ -89,6 +89,11 @@ def build_bvh_arrays(aabb_lo: np.ndarray, aabb_hi: np.ndarray, leaf_size: int = 
     else:
         nodes, order = build_sah_bvh(aabb_lo, aabb_hi, leaf_size)
         lo, hi, exit_idx, prim_start, prim_count, prim_order = flatten_bvh(nodes, order)
+    # traversal rides int indices through f32 packed rows — exact only < 2^24
+    if max(len(lo), len(prim_order)) >= (1 << 24):
+        raise ValueError(
+            f"BVH too large for f32-packed traversal indices: "
+            f"{len(lo)} nodes / {len(prim_order)} prim-order entries >= 2^24")
     # pad prim_order so leaf gathers of LEAF_K never go out of bounds
     pad = np.concatenate([prim_order, np.zeros(leaf_size, np.int32)])
     return BVH(

@@ -51,6 +51,11 @@ class TwoLevel(NamedTuple):
     inst_mat_override: jnp.ndarray  # i32[I] world material id; -1 = per-face
     inst_kind_override: jnp.ndarray  # i32[I] mat kind of the override; -1 = per-face
     inst_gid: jnp.ndarray  # i32[I] InstanceId reported in HitRecords
+    # malformed-structure guard for the traversal while_loop: a ray can
+    # re-traverse a shared BLAS once per instance, so the bound is
+    # 2·n_tlas + Σ_instances 2·blas_nodes(instance) + slack — NOT 4·n_nodes
+    # (which silently truncated rays crossing >~4 instances of one mesh)
+    step_cap: jnp.ndarray  # i32 scalar
 
     @property
     def n_nodes(self):
@@ -175,7 +180,17 @@ def build_two_level(
         kind_override = np.zeros(0, np.int32)
         gid = np.zeros(0, np.int32)
 
+    if max(node_acc, len(prim_order)) >= (1 << 24):
+        raise ValueError(
+            f"two-level structure too large for f32-packed traversal indices: "
+            f"{node_acc} nodes / {len(prim_order)} prim-order entries >= 2^24")
+    blas_sizes = [len(p[0]) for p in blas_parts]
+    per_inst_steps = sum(2 * blas_sizes[i["mesh"]] for i in instances)
+    total_nodes = int(node_acc)
+    cap = 2 * n_tlas + max(per_inst_steps, 2 * (total_nodes - n_tlas)) + 16
+
     return TwoLevel(
+        step_cap=jnp.asarray(cap, jnp.int32),
         lo=jnp.asarray(np.concatenate(all_lo), jnp.float32),
         hi=jnp.asarray(np.concatenate(all_hi), jnp.float32),
         exit=jnp.asarray(np.concatenate(all_exit), jnp.int32),
@@ -233,7 +248,7 @@ def _traverse_2l(prims: Primitives, acc: TwoLevel, o, d, t_min, t_max, any_hit: 
         i0 - 1,  # best_prim
         i0 - 1,  # best_inst
     )
-    step_cap = 4 * m + 16
+    step_cap = acc.step_cap
 
     def cond(s):
         live = s[1] != TERMINATE

@@ -92,7 +92,7 @@ def _lens_area(camera):
 
 
 def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens,
-                       counters, bsdf_pdf_toward=None):
+                       counters, bsdf_pdf_toward=None, n_conn=1):
     """Direct camera connection (evaluate_direct_importance equivalent,
     src/integrator/lt.rs:11-77). beta_f: throughput × bsdf/phase value ×
     (local cos at the vertex handled by caller). `bsdf_pdf_toward`: optional
@@ -140,7 +140,10 @@ def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens
         # direct-hit competitor exists only when the lens proxy disk is in
         # the scene (mat_kind 2) AND the aperture has area
         has_proxy = jnp.any(world.prims.mat_kind == 2)
-        p_conn = safe_div(1.0, a_lens)
+        # n_i·p_i in the balance heuristic: n_conn connection samples are
+        # drawn per vertex, so the technique's effective density is
+        # n_conn/a_lens (matches the w_hit competitor in the walk body)
+        p_conn = safe_div(float(n_conn), a_lens)
         p_hit = bsdf_pdf_toward(dir_c) * safe_div(cos_cam, dist2)
         energy = energy * jnp.where(
             (a_lens > 0.0) & has_proxy, safe_div(p_conn, p_conn + p_hit), 1.0
@@ -276,15 +279,25 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         # ---- direct light→lens hit (reference lt.rs:253-301 Camera vertex;
         # requires the camera lens proxy disk in the scene). MIS-paired with
         # the deterministic lens connection from the PREVIOUS vertex.
-        hit_cam = alive & hr.hit & (hr.mat_kind == 2)
-        fu_h, fv_h, on_film_h = camera.get_pixel_for_ray(hr.point, d)
+        # the particle travels along d INTO the camera; from the camera's
+        # convention the ray direction into the scene is -d (matching the
+        # -dir_c convention in _connect_to_camera). Also reject unphysical
+        # back-side proxy-disk hits (d·w >= 0 means the particle approached
+        # from behind the camera).
+        hit_cam = alive & hr.hit & (hr.mat_kind == 2) & (
+            vecmath.dot(d, camera.w) < 0.0)
+        fu_h, fv_h, on_film_h = camera.get_pixel_for_ray(hr.point, -d)
         cos_cam_h = jnp.abs(vecmath.dot(d, camera.w))
         we_area = safe_div(
             camera.focal_distance**2,
             a_lens * jnp.maximum(cos_cam_h, 1e-6) ** 4 * a_film,
         )
         p_hit_area = prev_pdf_sa * safe_div(cos_cam_h, jnp.maximum(hr.t, 1e-6) ** 2)
-        w_hit = safe_div(p_hit_area, p_hit_area + safe_div(1.0, a_lens))
+        # competitor density (n_i·p_i balance heuristic): bounce 0's lens
+        # connection comes from the single light-vertex connection; later
+        # bounces draw settings.camera_samples connections per vertex
+        n_comp = jnp.where(bounce == 0, 1.0, float(settings.camera_samples))
+        w_hit = safe_div(p_hit_area, p_hit_area + safe_div(n_comp, a_lens))
         # env particles have no s=1 lens-connection competitor on their
         # first segment (no env→lens connection strategy exists) -> full
         # weight for the direct hit
@@ -322,6 +335,7 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
             fu, fv, energy, valid, counters = _connect_to_camera(
                 world, camera, hr.point, hr.geo_normal, beta * inv_cs, lam, uc,
                 counters, bsdf_pdf_toward=pdf_toward,
+                n_conn=settings.camera_samples,
             )
             energy = energy * pdf_holder["f"] * pdf_holder["cos"]
             valid = valid & (energy > 0.0) & jnp.isfinite(energy)

@@ -331,7 +331,10 @@ class SceneBuilder:
         iid = self._new_instance()
         mat_arr = np.asarray(material_ids, np.int64)
         if mesh_key is None:
-            mesh_key = ("anon", id(vertices), id(indices), mat_arr.tobytes())
+            # monotonic counter, not id(): CPython reuses id() values after
+            # GC, which could silently alias two different anonymous meshes
+            self._anon_mesh_counter = getattr(self, "_anon_mesh_counter", 0) + 1
+            mesh_key = ("anon", self._anon_mesh_counter)
         else:
             mesh_key = (mesh_key, mat_arr.tobytes())
         if mesh_key not in self._mesh_defs:
@@ -513,6 +516,16 @@ class SceneBuilder:
 
         blas_meshes, blas_instances = self._resolve_mesh_instances()
         self.mesh_instances = []  # consumed
+        # hot loops ride int ids (materials, curves, prim rows) through f32
+        # packed rows — exact only below 2^24; fail loudly at build instead
+        # of silently corrupting lookups on absurdly large scenes
+        for label, count in (("primitives", len(self.prims)),
+                             ("materials", len(self.mat_rows)),
+                             ("curves", len(self.curves))):
+            if count >= (1 << 24):
+                raise ValueError(
+                    f"{label} count {count} >= 2^24: too large for "
+                    f"f32-packed hot-loop indices")
         n_world_rows = (len(self.prims) - sum(len(m["aabb_lo"]) for m in blas_meshes))
 
         bank = spectral.bake_curves(self.curves)
