@@ -23,15 +23,16 @@ N = W * H
 
 
 def timed(fn, *args, reps=5, label=""):
-    out = fn(*args)
-    # force completion via value fetch of a small reduction
-    _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    # reduce outputs to ONE scalar on device so the forced value fetch
+    # doesn't time a multi-MB tunnel transfer
+    red = jax.jit(lambda *a: sum(
+        jnp.sum(l.astype(jnp.float32)) for l in jax.tree_util.tree_leaves(fn(*a))))
+    _ = np.asarray(red(*args))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        _ = np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        _ = np.asarray(red(*args))
     el = (time.perf_counter() - t0) / reps
-    print(f"{label:40s} {el*1e3:9.2f} ms")
+    print(f"{label:40s} {el*1e3:9.2f} ms", flush=True)
     return el
 
 
@@ -61,6 +62,9 @@ def main():
     t_max = jnp.full((N,), RAY_TMAX, jnp.float32)
     lam_f = lam.reshape(-1)
     rep = lambda x: jnp.repeat(x, C, axis=0)
+
+    null = jax.jit(lambda o: o[:8, 0] * 2.0)
+    timed(null, o, label="null (tunnel RTT baseline)")
 
     isect = jax.jit(lambda o, d: world.intersect(o, d, t_min, t_max))
     timed(isect, o, d, label="intersect_dense closest-hit")
