@@ -8,11 +8,14 @@ wavefronts); this kernel holds the packed primitive table in VMEM and
 computes each ray tile's tests entirely on-chip, so HBM traffic is just the
 ray state in and (t, prim_id) out.
 
-Layout: rays ride in SUBLANES (RB=64 rays per compute tile), prims in
-LANES (chunks of 128) — every op is an aligned [64, 128] VPU tile. No
-gathers: prim attributes are static row slices of the packed table;
-closest-prim selection is two lane-reductions (min t, then min id among
-t==t_min), no argmin/take_along_axis.
+Layout (Mosaic alignment rules: lane slices must be 128-multiples, sublane
+slices 8-multiples): RAYS stay in LANES for the whole kernel — attrs are
+[1, GW=512] row slices of the [8, TILE] ray block, results write back as
+[GW] lane vectors, zero relayouts. PRIMS ride SUBLANES — the packed table
+is TRANSPOSED [P_pad, 128] so an 8-prim chunk is a [8, 128] static row
+block whose per-attr [8, 1] columns broadcast against the ray lanes. Every
+compute op is an aligned [8, GW] tile; closest-prim selection is sublane
+min-reductions (min t, then min id among t==t_min) — no argmin, no gather.
 
 Primitive encodings match geometry/soa.py exactly (watertight triangle via
 where-mask cyclic axis permutation per mesh.rs:67-198; two-root sphere;
@@ -30,7 +33,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pathtracer_tpu.geometry.soa import (
-    PRIM_DISK,
     PRIM_RECT,
     PRIM_SPHERE,
     PRIM_TRIANGLE,
@@ -39,44 +41,57 @@ from pathtracer_tpu.geometry.soa import (
 )
 
 RAY_TILE = 4096  # rays per grid step
-RB = 64          # rays per compute tile (sublanes)
-PCHUNK = 128     # prims per compute tile (lanes)
+GW = 512         # rays per compute tile (lanes)
+PB = 8           # prims per compute tile (sublanes)
 
-# packed prim-table rows
-_R_PTYPE, _R_VALID = 0, 1
-_R_PA, _R_PB, _R_PC = 2, 5, 8
-_N_ROWS = 16  # padded
+# packed prim-table columns (table is [P_pad, 128]; cols 11.. are padding)
+_C_PTYPE, _C_VALID = 0, 1
+_C_PA, _C_PB, _C_PC = 2, 5, 8
+_N_COLS = 128
 
 
 def pack_prims(prims: Primitives) -> jnp.ndarray:
-    """[16, P_pad] f32 packed primitive table (P_pad multiple of 128)."""
+    """[P_pad, 128] f32 transposed primitive table (P_pad multiple of PB)."""
     p = prims.count
-    p_pad = -(-p // PCHUNK) * PCHUNK
-    tab = jnp.zeros((_N_ROWS, p_pad), jnp.float32)
-    tab = tab.at[_R_PTYPE, :p].set(prims.ptype.astype(jnp.float32))
-    tab = tab.at[_R_VALID, :p].set(prims.valid.astype(jnp.float32))
-    for i in range(3):
-        tab = tab.at[_R_PA + i, :p].set(prims.pa[:, i])
-        tab = tab.at[_R_PB + i, :p].set(prims.pb[:, i])
-        tab = tab.at[_R_PC + i, :p].set(prims.pc[:, i])
+    p_pad = -(-p // PB) * PB
+    tab = jnp.zeros((p_pad, _N_COLS), jnp.float32)
+    tab = tab.at[:p, _C_PTYPE].set(prims.ptype.astype(jnp.float32))
+    tab = tab.at[:p, _C_VALID].set(prims.valid.astype(jnp.float32))
+    tab = tab.at[:p, _C_PA:_C_PA + 3].set(prims.pa)
+    tab = tab.at[:p, _C_PB:_C_PB + 3].set(prims.pb)
+    tab = tab.at[:p, _C_PC:_C_PC + 3].set(prims.pc)
     return tab
 
 
-def _chunk_t(tab, psl, ox, oy, oz, dx, dy, dz, t_min, t_max):
-    """t for a [RB,1] ray tile vs a [1,128] prim chunk -> [RB,128].
+def _prim_chunks(tab_ref):
+    """Hoisted per-chunk [PB, 1] attr slabs (loop-invariant across the ray
+    groups — read once, live in registers)."""
+    p_pad = tab_ref.shape[0]
+    chunks = []
+    for pc in range(p_pad // PB):
+        blk = tab_ref[pc * PB:(pc + 1) * PB, :]  # [PB, 128] static
+
+        def a(col, blk=blk):
+            return blk[:, col:col + 1]           # [PB, 1]
+
+        chunks.append(dict(
+            ptype=a(_C_PTYPE), valid=a(_C_VALID),
+            pax=a(_C_PA), pay=a(_C_PA + 1), paz=a(_C_PA + 2),
+            pbx=a(_C_PB), pby=a(_C_PB + 1), pbz=a(_C_PB + 2),
+            pcx=a(_C_PC), pcy=a(_C_PC + 1), pcz=a(_C_PC + 2),
+        ))
+    return chunks
+
+
+def _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max):
+    """t for a [1, GW] ray tile vs a [PB, 1] prim chunk -> [PB, GW].
 
     Mirrors soa._chunk_ts / _t_* componentwise (identity transforms)."""
-    ptype = tab[_R_PTYPE, psl][None, :]
-    valid = tab[_R_VALID, psl][None, :] > 0.5
-    pax = tab[_R_PA + 0, psl][None, :]
-    pay = tab[_R_PA + 1, psl][None, :]
-    paz = tab[_R_PA + 2, psl][None, :]
-    pbx = tab[_R_PB + 0, psl][None, :]
-    pby = tab[_R_PB + 1, psl][None, :]
-    pbz = tab[_R_PB + 2, psl][None, :]
-    pcx = tab[_R_PC + 0, psl][None, :]
-    pcy = tab[_R_PC + 1, psl][None, :]
-    pcz = tab[_R_PC + 2, psl][None, :]
+    ptype = ch["ptype"]
+    valid = ch["valid"] > 0.5
+    pax, pay, paz = ch["pax"], ch["pay"], ch["paz"]
+    pbx, pby, pbz = ch["pbx"], ch["pby"], ch["pbz"]
+    pcx, pcy, pcz = ch["pcx"], ch["pcy"], ch["pcz"]
     inf = jnp.inf
 
     # ---- watertight triangle (soa._t_triangle): cyclic axis permutation by
@@ -167,65 +182,54 @@ def _chunk_t(tab, psl, ox, oy, oz, dx, dy, dz, t_min, t_max):
     return jnp.where(valid, t, inf)
 
 
-def _closest_kernel(n_chunks, rays_ref, tab_ref, out_ref):
-    tab = tab_ref[:]
+def _closest_kernel(rays_ref, tab_ref, out_ref):
+    chunks = _prim_chunks(tab_ref)
 
-    def sub(rb, _):
-        sl = pl.ds(rb * RB, RB)
-        ox = rays_ref[0, sl][:, None]
-        oy = rays_ref[1, sl][:, None]
-        oz = rays_ref[2, sl][:, None]
-        dx = rays_ref[3, sl][:, None]
-        dy = rays_ref[4, sl][:, None]
-        dz = rays_ref[5, sl][:, None]
-        t_min = rays_ref[6, sl][:, None]
-        t_max = rays_ref[7, sl][:, None]
-        t_best = jnp.full((RB, PCHUNK), jnp.inf, jnp.float32)
-        id_best = jnp.full((RB, PCHUNK), jnp.inf, jnp.float32)
-        for c in range(n_chunks):
-            psl = slice(c * PCHUNK, (c + 1) * PCHUNK)
-            t = _chunk_t(tab, psl, ox, oy, oz, dx, dy, dz, t_min, t_max)
-            ids = (jax.lax.broadcasted_iota(jnp.float32, (RB, PCHUNK), 1)
-                   + float(c * PCHUNK))
-            better = t < t_best
-            t_best = jnp.where(better, t, t_best)
-            id_best = jnp.where(better, ids, id_best)
-        # closest across lanes: min t, then min id among the t==min lanes
-        # (no argmin/gather; ties resolve to the smallest prim id, same as
-        # the XLA sweep's first-occurrence argmin over ascending ids)
-        t_m = jnp.min(t_best, axis=1, keepdims=True)
-        id_m = jnp.min(jnp.where(t_best == t_m, id_best, jnp.inf),
-                       axis=1, keepdims=True)
-        hit = jnp.isfinite(t_m)
-        out_ref[0, sl] = t_m[:, 0]
-        out_ref[1, sl] = jnp.where(hit, id_m, -1.0)[:, 0]
-        return 0
-
-    jax.lax.fori_loop(0, RAY_TILE // RB, sub, 0)
+    for rg in range(RAY_TILE // GW):
+        sl = slice(rg * GW, (rg + 1) * GW)
+        ox = rays_ref[0, sl][None, :]
+        oy = rays_ref[1, sl][None, :]
+        oz = rays_ref[2, sl][None, :]
+        dx = rays_ref[3, sl][None, :]
+        dy = rays_ref[4, sl][None, :]
+        dz = rays_ref[5, sl][None, :]
+        t_min = rays_ref[6, sl][None, :]
+        t_max = rays_ref[7, sl][None, :]
+        best_t = jnp.full((GW,), jnp.inf, jnp.float32)
+        best_id = jnp.full((GW,), jnp.inf, jnp.float32)
+        for pc, ch in enumerate(chunks):
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)  # [PB, GW]
+            ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
+                   .astype(jnp.float32) + float(pc * PB))
+            ct = jnp.min(t, axis=0)  # [GW]
+            cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
+            better = ct < best_t
+            best_t = jnp.where(better, ct, best_t)
+            best_id = jnp.where(better, cid, best_id)
+        hit = jnp.isfinite(best_t)
+        out_ref[0, sl] = best_t
+        out_ref[1, sl] = jnp.where(hit, best_id, -1.0)
 
 
-def _any_kernel(n_chunks, rays_ref, tab_ref, out_ref):
-    tab = tab_ref[:]
+def _any_kernel(rays_ref, tab_ref, out_ref):
+    chunks = _prim_chunks(tab_ref)
 
-    def sub(rb, _):
-        sl = pl.ds(rb * RB, RB)
-        ox = rays_ref[0, sl][:, None]
-        oy = rays_ref[1, sl][:, None]
-        oz = rays_ref[2, sl][:, None]
-        dx = rays_ref[3, sl][:, None]
-        dy = rays_ref[4, sl][:, None]
-        dz = rays_ref[5, sl][:, None]
-        t_min = rays_ref[6, sl][:, None]
-        t_max = rays_ref[7, sl][:, None]
-        blocked = jnp.zeros((RB, PCHUNK), jnp.float32)
-        for c in range(n_chunks):
-            psl = slice(c * PCHUNK, (c + 1) * PCHUNK)
-            t = _chunk_t(tab, psl, ox, oy, oz, dx, dy, dz, t_min, t_max)
-            blocked = jnp.maximum(blocked, jnp.isfinite(t).astype(jnp.float32))
-        out_ref[0, sl] = jnp.max(blocked, axis=1)
-        return 0
-
-    jax.lax.fori_loop(0, RAY_TILE // RB, sub, 0)
+    for rg in range(RAY_TILE // GW):
+        sl = slice(rg * GW, (rg + 1) * GW)
+        ox = rays_ref[0, sl][None, :]
+        oy = rays_ref[1, sl][None, :]
+        oz = rays_ref[2, sl][None, :]
+        dx = rays_ref[3, sl][None, :]
+        dy = rays_ref[4, sl][None, :]
+        dz = rays_ref[5, sl][None, :]
+        t_min = rays_ref[6, sl][None, :]
+        t_max = rays_ref[7, sl][None, :]
+        blocked = jnp.zeros((GW,), jnp.float32)
+        for ch in chunks:
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+            blocked = jnp.maximum(
+                blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
+        out_ref[0, sl] = blocked
 
 
 def _pack_rays(o, d, t_min, t_max):
@@ -244,9 +248,8 @@ def _pack_rays(o, d, t_min, t_max):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sweep_closest(rays, tab, interpret=False):
     n_pad = rays.shape[1]
-    n_chunks = tab.shape[1] // PCHUNK
     return pl.pallas_call(
-        functools.partial(_closest_kernel, n_chunks),
+        _closest_kernel,
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),
@@ -261,9 +264,8 @@ def _sweep_closest(rays, tab, interpret=False):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _sweep_any(rays, tab, interpret=False):
     n_pad = rays.shape[1]
-    n_chunks = tab.shape[1] // PCHUNK
     return pl.pallas_call(
-        functools.partial(_any_kernel, n_chunks),
+        _any_kernel,
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),

@@ -1,0 +1,1088 @@
+"""Pallas regen-PT megakernel: the whole per-bounce body on-chip.
+
+The production XLA regen integrator (integrator/pt_regen.py — itself the
+wavefront re-design of the reference's random_walk + PT NEE loop,
+/root/reference/src/integrator/utils.rs:152-376 + src/integrator/pt.rs) runs
+each bounce as one giant XLA program whose intermediates ([N] and [N,4]
+arrays, plus ~10 per-lane gathers at ~4 ms each) all round-trip HBM;
+measured cost ~75 ms per 2M-lane iteration. This module replaces one
+iteration with a 4-kernel Mosaic pipeline whose HBM traffic is just the
+packed ray state:
+
+  K1 closest-hit   (kernels/dense.py — rays in sublanes, prims in lanes)
+  K2 shade-pre     (this file — hit attrs, emission/env adds, NEE ray
+                    setup + contributions, BSDF sample, all [S,128] tiles)
+  K3 shadow any-hit (kernels/dense.py, one per light sample)
+  K4 finalize      (this file — NEE resolve, RR, death/XYZ, respawn)
+
+Table lookups never gather: primitive/material/light records are contracted
+against one-hot masks on the MXU; spectral curve evaluation builds a
+SOFT one-hot over the 512 λ-knots (lerp weights at i0/i0+1) and rides ONE
+[C,512]x[512,TILE] matmul per hero lane — every curve the bounce needs
+(η_i, η_o, κ, reflectance, emission SPD, env) falls out of that product.
+CIE x̄ȳz̄ use the closed-form Wyman fits (core/cie.py) directly.
+
+Scope (gated by mega_available): projective thin-lens camera, identity
+transforms, ≤1024 prims, constant environment, 1×1 textures, surface-only,
+≤16 lights, ≤24 materials. Everything else falls back to the XLA path.
+RNG is the on-chip Mosaic PRNG (seeded per (seed, kernel, iteration,
+program)), so films agree with the XLA integrator statistically (same
+estimator, different sample sequence) — validated by white-furnace unity
+and equal-spp RMSE tests, not bit-identity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pathtracer_tpu.kernels import cmath
+from pathtracer_tpu.kernels.cmath import V3
+from pathtracer_tpu.kernels.dense import (
+    RAY_TILE,
+    _sweep_any,
+    _sweep_closest,
+    pack_prims,
+)
+from pathtracer_tpu.geometry.soa import (
+    PRIM_DISK,
+    PRIM_RECT,
+    PRIM_SPHERE,
+    PRIM_TRIANGLE,
+)
+from pathtracer_tpu.materials.tables import (
+    MAT_DIFFUSE_LIGHT,
+    MAT_GGX,
+    MAT_LAMBERTIAN,
+    MAT_SHARP_LIGHT,
+)
+from pathtracer_tpu.prelude import (
+    INTERSECTION_TIME_OFFSET,
+    NORMAL_OFFSET,
+    RAY_TMAX,
+    TransportMode,
+)
+from pathtracer_tpu.utils import profile as prof
+
+TILE = 2048  # lanes per K2/K4 grid step (VMEM-bounded: the λ soft-onehot
+             # is [512, TILE] f32 = 4 MB; K1/K3 keep their own RAY_TILE)
+SUB = TILE // 128  # sublane count of a [SUB, 128] full-tile op
+C_LANES = 4  # HWSS lanes
+
+SPEC_RES = 512
+
+# ---- state rows [NS, N]
+S_O, S_D = 0, 3
+S_LAM, S_BETA, S_RAD = 6, 10, 14
+S_ACC = 18
+S_DONE, S_ALIVE, S_BOUNCE, S_PREV_PDF = 21, 22, 23, 24
+NS = 32
+
+# ---- K2 output rows [NK2, N]
+O_RAD = 0          # 4: path_rad after emission/env adds
+O_AT_SURF = 4
+O_ENV_CT = 5
+O_SHADOW_CT = 6
+O_FPDF = 7
+O_SAMPLE_OK = 8
+O_RATIO = 9        # 4
+O_ONEW = 13        # 3
+O_DNEW = 16        # 3
+O_NEE = 19         # per light sample: so(3) dir(3) tmax(1) worth(1) contrib(4) = 12
+
+
+def _k2_rows(light_samples):
+    return -(-(O_NEE + 12 * light_samples) // 8) * 8
+
+
+# ---- K4 output rows: new state + counter indicators
+O4_BOUNCE_CT = NS
+O4_CAMERA_CT = NS + 1
+NK4 = NS + 8
+
+
+class MegaScene(NamedTuple):
+    """Device tables + host constants for the megakernel (built once per
+    (world, camera, settings) by build_mega_scene)."""
+
+    prim_tab: jnp.ndarray   # f32[24, P_pad] row-major attr table (MXU fetch)
+    dense_tab: jnp.ndarray  # dense.pack_prims transposed table for K1/K3
+    mat_tab: jnp.ndarray    # f32[8, M_pad]
+    light_tab: jnp.ndarray  # f32[16, L_pad]
+    spec_tab: jnp.ndarray   # f32[C_pad, 512] rows m*5+{ηi,ηo,κ,refl,emit}, env last
+    consts: dict            # host-side scalars baked into kernel closures
+
+
+# prim_tab extra rows (0..10 are dense.py's)
+_R_NA, _R_NB, _R_NC = 11, 14, 17
+_R_MAT, _R_KIND, _R_AREA = 20, 21, 22
+_NP_ROWS = 24
+
+# mat_tab rows
+_M_TYPE, _M_ALPHA, _M_METAL, _M_PERM, _M_SIDE, _M_SHARP, _M_RSCALE = range(7)
+_NM_ROWS = 8
+
+# light_tab rows
+_L_PA, _L_PB, _L_PC = 0, 3, 6
+_L_PTYPE, _L_AREA, _L_MAT, _L_MTYPE, _L_SIDE, _L_SHARP = 9, 10, 11, 12, 13, 14
+_NL_ROWS = 16
+
+
+def mega_available(world, camera, settings) -> bool:
+    """Static scene/settings preconditions for the megakernel."""
+    from pathtracer_tpu.camera.projective import ProjectiveCamera
+    from pathtracer_tpu.world.environment import ENV_CONSTANT
+
+    if not isinstance(camera, ProjectiveCamera):
+        return False
+    if settings.medium_aware:
+        return False
+    w = world
+    if w.accel2 is not None:
+        return False
+    if int(w.prims.xf_inv.shape[0]) != 1:
+        return False
+    if w.prims.count > 1024:
+        return False
+    if int(w.env.kind) != ENV_CONSTANT:
+        return False
+    if int(w.mats.count) > 24:
+        return False
+    if int(w.n_lights) > 16:
+        return False
+    # all textures must be single-layer 1x1 (flat spectral colors)
+    t = w.tex
+    if not (np.asarray(t.layer_count) == 1).all():
+        return False
+    if not ((np.asarray(t.layer_w) == 1).all() and (np.asarray(t.layer_h) == 1).all()):
+        return False
+    if int(w.bank.values.shape[1]) != SPEC_RES:
+        return False
+    return True
+
+
+def build_mega_scene(world, camera, settings) -> MegaScene:
+    """Host-side table bake (concrete device arrays -> numpy -> packed)."""
+    w = world
+    prims = w.prims
+    p = prims.count
+    p_pad = -(-p // 128) * 128
+    tab = np.zeros((_NP_ROWS, p_pad), np.float32)
+    tab[0, :p] = np.asarray(prims.ptype)
+    tab[1, :p] = np.asarray(prims.valid)
+    for i in range(3):
+        tab[2 + i, :p] = np.asarray(prims.pa[:, i])
+        tab[5 + i, :p] = np.asarray(prims.pb[:, i])
+        tab[8 + i, :p] = np.asarray(prims.pc[:, i])
+        tab[_R_NA + i, :p] = np.asarray(prims.na[:, i])
+        tab[_R_NB + i, :p] = np.asarray(prims.nb[:, i])
+        tab[_R_NC + i, :p] = np.asarray(prims.nc[:, i])
+    tab[_R_MAT, :p] = np.asarray(prims.material_id)
+    tab[_R_KIND, :p] = np.asarray(prims.mat_kind)
+    tab[_R_AREA, :p] = np.asarray(prims.area)
+
+    mats = w.mats
+    m = int(mats.count)
+    m_pad = 128
+    mt = np.zeros((_NM_ROWS, m_pad), np.float32)
+    mt[_M_TYPE, :m] = np.asarray(mats.mtype)
+    mt[_M_ALPHA, :m] = np.asarray(mats.alpha)
+    mt[_M_METAL, :m] = np.asarray(mats.metallic).astype(np.float32)
+    mt[_M_PERM, :m] = np.asarray(mats.permeability)
+    mt[_M_SIDE, :m] = np.asarray(mats.sidedness)
+    mt[_M_SHARP, :m] = np.asarray(mats.sharpness)
+    # lambertian reflectance = tex layer weight x layer curve (1x1 textures);
+    # light bounce colors use the bounce curve with weight 1
+    tex = w.tex
+    layer_curve = np.asarray(tex.layer_curve)
+    layer_start = np.asarray(tex.layer_start)
+    atlas = np.asarray(tex.atlas)
+    layer_offset = np.asarray(tex.layer_offset)
+    mtype = np.asarray(mats.mtype)
+    tex_id = np.maximum(np.asarray(mats.tex_id), 0)
+    refl_curve = np.zeros(m, np.int64)
+    refl_scale = np.ones(m, np.float32)
+    for i in range(m):
+        if mtype[i] == MAT_LAMBERTIAN:
+            li = int(layer_start[tex_id[i]])
+            refl_curve[i] = int(layer_curve[li])
+            refl_scale[i] = float(atlas[int(layer_offset[li])])
+        else:
+            refl_curve[i] = int(np.asarray(mats.bounce_idx)[i])
+    mt[_M_RSCALE, :m] = refl_scale
+
+    # spectral rows: per-material (eta_i, eta_o, kappa, refl, emit) + env
+    bank_vals = np.asarray(w.bank.values)  # [K, 512]
+    c_rows = 5 * m + 1
+    c_pad = -(-c_rows // 8) * 8
+    st = np.zeros((c_pad, SPEC_RES), np.float32)
+
+    def curve(idx):
+        return bank_vals[int(max(idx, 0))]
+
+    eta_idx = np.asarray(mats.eta_idx)
+    eta_o_idx = np.asarray(mats.eta_o_idx)
+    kappa_idx = np.asarray(mats.kappa_idx)
+    emit_idx = np.asarray(mats.emit_idx)
+    for i in range(m):
+        st[5 * i + 0] = curve(eta_idx[i])
+        st[5 * i + 1] = curve(eta_o_idx[i])
+        st[5 * i + 2] = curve(kappa_idx[i])
+        st[5 * i + 3] = curve(refl_curve[i])
+        st[5 * i + 4] = curve(emit_idx[i])
+    st[5 * m] = curve(int(w.env.curve_idx)) * float(w.env.strength)
+
+    # lights
+    lights = np.asarray(w.lights)
+    nl = int(w.n_lights)
+    lt = np.zeros((_NL_ROWS, 128), np.float32)
+    for l in range(nl):
+        pid = int(lights[l])
+        for i in range(3):
+            lt[_L_PA + i, l] = np.asarray(prims.pa)[pid, i]
+            lt[_L_PB + i, l] = np.asarray(prims.pb)[pid, i]
+            lt[_L_PC + i, l] = np.asarray(prims.pc)[pid, i]
+        lt[_L_PTYPE, l] = float(np.asarray(prims.ptype)[pid])
+        lt[_L_AREA, l] = float(np.asarray(prims.area)[pid])
+        mid = int(np.asarray(prims.material_id)[pid])
+        lt[_L_MAT, l] = mid
+        lt[_L_MTYPE, l] = float(mtype[mid])
+        lt[_L_SIDE, l] = float(np.asarray(mats.sidedness)[mid])
+        lt[_L_SHARP, l] = float(np.asarray(mats.sharpness)[mid])
+
+    rot_inv = np.asarray(w.env.rotation_inv, np.float32)
+    rot_fwd = np.asarray(w.env.rotation, np.float32)
+    p_env = float(np.clip(np.asarray(w.env_sampling_probability), 0.0, 1.0))
+    if nl == 0:
+        p_env = 1.0  # pt_regen.py:49 — no instance lights -> env-only NEE
+    consts = dict(
+        n_mats=m,
+        n_lights=nl,
+        p_env=p_env,
+        env_rot=tuple(float(x) for x in rot_fwd.reshape(-1)),
+        lam_lo=float(w.bank.lam_lo),
+        lam_hi=float(w.bank.lam_hi),
+        env_rot_inv=tuple(float(x) for x in rot_inv.reshape(-1)),
+        cam_origin=tuple(float(x) for x in np.asarray(camera.origin)),
+        cam_w=tuple(float(x) for x in np.asarray(camera.w)),
+        cam_u=tuple(float(x) for x in np.asarray(camera.u)),
+        cam_v=tuple(float(x) for x in np.asarray(camera.v)),
+        cam_half_w=float(camera.half_width),
+        cam_half_h=float(camera.half_height),
+        cam_focal=float(camera.focal_distance),
+        cam_lens_r=float(camera.lens_radius),
+        cam_blades=int(camera.blades),
+        cam_sharp=float(camera.blade_sharpness),
+    )
+    return MegaScene(
+        prim_tab=jnp.asarray(tab),
+        dense_tab=pack_prims(prims),
+        mat_tab=jnp.asarray(mt),
+        light_tab=jnp.asarray(lt),
+        spec_tab=jnp.asarray(st),
+        consts=consts,
+    )
+
+
+# ------------------------------------------------------------------ helpers
+
+
+def _tile(x):
+    """[TILE] -> [SUB, 128]."""
+    return x.reshape(SUB, 128)
+
+
+def _flatrow(x):
+    """[SUB, 128] -> [TILE]."""
+    return x.reshape(TILE)
+
+
+def _n_u_rows(light_samples):
+    """Uniform rows per iteration: 3 per NEE sample + 3 (bsdf sample) +
+    1 (RR) + 5 (respawn), padded to a sublane multiple. Drawn host-side
+    with jax.random and passed in as a [NU, N] block — the Mosaic PRNG
+    returns int32 bits (sign-contaminated shifts) and the TPU interpreter
+    stubs it to zeros, so in-kernel RNG is neither portable nor testable."""
+    return -(-(3 * light_samples + 9) // 8) * 8
+
+
+def _sel_rows(mat_prod, ids, rows, n, stride=1, base=0):
+    """mat_prod: [R, TILE] matmul result; ids: [SUB,128] integer selector in
+    [0, n); returns the per-lane value of row (base + stride*id + rows)."""
+    acc = jnp.zeros((SUB, 128), jnp.float32)
+    for i in range(n):
+        acc = acc + jnp.where(ids == i, _tile(mat_prod[base + stride * i + rows, :]), 0.0)
+    return acc
+
+
+def _mat_param(mat, row, mat_id, n_mats):
+    """Select mat[row, mat_id] by an M-loop of where-masks. `mat` is the
+    MATERIALIZED [8, 128] table value (read once per kernel) — per-scalar
+    VMEM loads at arbitrary lane offsets are not Mosaic-safe."""
+    acc = jnp.zeros((SUB, 128), jnp.float32)
+    for i in range(n_mats):
+        acc = acc + jnp.where(mat_id == i, mat[row, i], 0.0)
+    return acc
+
+
+def _balance(a, b):
+    s = a + b
+    return jnp.where(s > 0.0, a / jnp.where(s > 0.0, s, 1.0), 1.0)
+
+
+def _emission_value(spd, mtype, side, sharp, cos_theta):
+    """materials/diffuse_light.py + sharp_light.py (already elementwise)."""
+    fwd = (cos_theta > 0.0).astype(jnp.float32)
+    rev = (cos_theta < 0.0).astype(jnp.float32)
+    dual = (cos_theta != 0.0).astype(jnp.float32)
+    gate = jnp.where(side == 2, dual, jnp.where(side == 0, fwd, rev))
+    e_diff = spd / jnp.pi * gate
+    n = sharp
+    e_sharp = spd * (n + 1.0) * jnp.abs(cos_theta) ** n / (2.0 * jnp.pi) * gate
+    is_light = (mtype == MAT_DIFFUSE_LIGHT) | (mtype == MAT_SHARP_LIGHT)
+    return jnp.where(is_light, jnp.where(mtype == MAT_SHARP_LIGHT, e_sharp, e_diff), 0.0)
+
+
+def _cie_xyz(lam):
+    from pathtracer_tpu.core import cie
+
+    return cie.x_bar(lam), cie.y_bar(lam), cie.z_bar(lam)
+
+
+def _soft_onehot(lam, lam_lo, lam_hi):
+    """[SUB,128] λ -> [512, TILE] lerp-weight one-hot (spectral.evaluate
+    semantics: u clipped to [0, RES-1-1e-4], linear between knots)."""
+    u = (lam - lam_lo) / (lam_hi - lam_lo) * (SPEC_RES - 1)
+    u = jnp.clip(u, 0.0, SPEC_RES - 1 - 1e-4)
+    i0 = jnp.floor(u)
+    frac = u - i0
+    i0_row = _flatrow(i0)[None, :]
+    frac_row = _flatrow(frac)[None, :]
+    knots = jax.lax.broadcasted_iota(jnp.int32, (SPEC_RES, TILE), 0).astype(jnp.float32)
+    return jnp.where(knots == i0_row, 1.0 - frac_row,
+                     jnp.where(knots == i0_row + 1.0, frac_row, 0.0))
+
+
+def _bsdf_eval_lane(mtype, alpha, metallic, perm, eta_i, eta_o, kappa, refl,
+                    wi, wo, mode):
+    """materials/tables.bsdf_eval for one λ lane, componentwise."""
+    f_lam, pdf_lam = cmath.eval_lambertian(refl, wi, wo)
+    a = jnp.maximum(alpha, 1e-4)
+    ei = jnp.maximum(eta_i, 1e-3)
+    eo = jnp.maximum(eta_o, 1e-3)
+    f_ggx, pdf_ggx = cmath.eval_ggx(a, ei, eo, kappa, metallic > 0.5, perm,
+                                    wi, wo, mode)
+    is_ggx = mtype == MAT_GGX
+    f = jnp.where(is_ggx, f_ggx, f_lam)
+    pdf = jnp.where(is_ggx, pdf_ggx, pdf_lam)
+    dead = mtype == 4  # passthrough
+    return jnp.where(dead, 0.0, f), jnp.where(dead, 0.0, pdf)
+
+
+def _sample_surface_light(lp_type, pa, pb, pc, u1, u2):
+    """geometry/soa.sample_surface componentwise (identity transforms)."""
+    su = jnp.sqrt(u1)
+    w0 = 1.0 - su
+    w1 = su * (1.0 - u2)
+    w2 = su * u2
+    tri_p = pa.scale(w0) + pb.scale(w1) + pc.scale(w2)
+    tri_n = cmath.normalize(cmath.cross(pb - pa, pc - pa))
+    z = 1.0 - 2.0 * u1
+    r_xy = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u2
+    sph_n = V3(r_xy * jnp.cos(phi), r_xy * jnp.sin(phi), z)
+    sph_p = pa + sph_n.scale(pb.x)
+    rec_p = pa + pb.scale(2.0 * u1 - 1.0) + pc.scale(2.0 * u2 - 1.0)
+    rec_n = cmath.normalize(cmath.cross(pb, pc))
+    rr = jnp.sqrt(u1) * pc.x
+    t_ax, b_ax = cmath.orthonormal_basis(pb)
+    dsk_p = pa + t_ax.scale(rr * jnp.cos(phi)) + b_ax.scale(rr * jnp.sin(phi))
+    dsk_n = pb
+    is_tri = lp_type == PRIM_TRIANGLE
+    is_sph = lp_type == PRIM_SPHERE
+    is_rec = lp_type == PRIM_RECT
+    p = cmath.where(is_tri, tri_p,
+                    cmath.where(is_sph, sph_p, cmath.where(is_rec, rec_p, dsk_p)))
+    nrm = cmath.where(is_tri, tri_n,
+                      cmath.where(is_sph, sph_n, cmath.where(is_rec, rec_n, dsk_n)))
+    return p, nrm
+
+
+def _hit_attributes(attr, o, d, t):
+    """_fill_attributes componentwise for identity transforms: shading
+    normal, geo normal (uv elided — megakernel scenes are 1x1-textured and
+    the disk uv is (0,0) anyway). attr: [24, TILE] matmul product."""
+    a = lambda i: _tile(attr[i, :])
+    pa = V3(a(2), a(3), a(4))
+    pb = V3(a(5), a(6), a(7))
+    pc = V3(a(8), a(9), a(10))
+    na = V3(a(_R_NA), a(_R_NA + 1), a(_R_NA + 2))
+    nb = V3(a(_R_NB), a(_R_NB + 1), a(_R_NB + 2))
+    nc = V3(a(_R_NC), a(_R_NC + 1), a(_R_NC + 2))
+    ptype = a(0)
+    point = o + d.scale(t)
+    e1 = pb - pa
+    e2 = pc - pa
+    tri_gn = cmath.normalize(cmath.cross(e1, e2))
+    pvec = cmath.cross(d, e2)
+    det = cmath.dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    tvec = o - pa
+    bu = cmath.dot(tvec, pvec) * inv_det
+    bv = cmath.dot(d, cmath.cross(tvec, e1)) * inv_det
+    tri_sn = cmath.normalize(na.scale(1.0 - bu - bv) + nb.scale(bu) + nc.scale(bv))
+    sph_n = cmath.normalize(point - pa)
+    rect_n = cmath.normalize(cmath.cross(pb, pc))
+    disk_n = pb
+    is_tri = ptype == PRIM_TRIANGLE
+    is_sph = ptype == PRIM_SPHERE
+    is_rec = ptype == PRIM_RECT
+    normal = cmath.where(is_tri, tri_sn,
+                         cmath.where(is_sph, sph_n,
+                                     cmath.where(is_rec, rect_n, disk_n)))
+    gn = cmath.where(is_tri, tri_gn,
+                     cmath.where(is_sph, sph_n,
+                                 cmath.where(is_rec, rect_n, disk_n)))
+    mat_id = a(_R_MAT)
+    kind = a(_R_KIND)
+    area = a(_R_AREA)
+    return point, normal, gn, mat_id, kind, area
+
+
+# ----------------------------------------------------------------- kernel K2
+
+
+def _shade_kernel(consts, settings,
+                  u_ref, state_ref, tp_ref, prim_ref, mat_ref, light_ref,
+                  spec_ref, out_ref):
+    c = consts
+    ls = settings["light_samples"]
+    C = settings["c_lanes"]
+    nee_enabled = ls > 0
+    p_env = c["p_env"]
+    n_mats = c["n_mats"]
+    n_lights = c["n_lights"]
+    have_lights = n_lights > 0
+
+    s = lambda i: _tile(state_ref[i, :])
+    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+    lam = [s(S_LAM + i) for i in range(C)]
+    beta = [s(S_BETA + i) for i in range(C)]
+    rad = [s(S_RAD + i) for i in range(C)]
+    alive = s(S_ALIVE) > 0.5
+    bounce_ct = s(S_BOUNCE)
+    prev_pdf = s(S_PREV_PDF)
+
+    mat_tab = mat_ref[:]
+    light_tab = light_ref[:]
+    t_hit = _tile(tp_ref[0, :])
+    pid = _tile(tp_ref[1, :])
+    hit = pid >= 0.0
+    pid_c = jnp.maximum(pid, 0.0)
+
+    # ---- prim attr fetch: [24, P] @ onehot[P, TILE] on the MXU
+    p_pad = prim_ref.shape[1]
+    onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, TILE), 0).astype(jnp.float32)
+                == _flatrow(pid_c)[None, :]).astype(jnp.float32)
+    attr = jax.lax.dot_general(
+        prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    point, normal, gn, mat_id_f, kind, area = _hit_attributes(attr, o, d, t_hit)
+    mat_id = mat_id_f  # float ids compared against float loop constants
+    at_surface = alive & hit & (kind != 2.0)
+
+    # ---- spectral matmul per λ lane: all curves at this lane's λ
+    spec = spec_ref[:, :]
+    R = []
+    for ci in range(C):
+        soft = _soft_onehot(lam[ci], c["lam_lo"], c["lam_hi"])
+        R.append(jax.lax.dot_general(
+            spec, soft, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32))  # [C_pad, TILE]
+
+    env_row = 5 * n_mats
+
+    # ---- escape: constant-env emission (env_emission, world/environment.py)
+    escaped = alive & ~hit
+    # constant env NEE pdf for MIS (uniform-uv sampling over the sphere)
+    if nee_enabled and p_env > 0.0:
+        # env_pdf_for applies env.rotation to d; for a constant env the pdf
+        # depends only on v of the rotated direction
+        er = c["env_rot"]
+        dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
+        v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
+        jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
+        env_nee_pdf = (1.0 / jac) * p_env
+        use_mis_env = (bounce_ct > 0.5) & (env_nee_pdf + prev_pdf > 0.0)
+        w_env = jnp.where(use_mis_env, _balance(prev_pdf, jnp.maximum(env_nee_pdf, 0.0)), 1.0)
+    else:
+        w_env = jnp.ones((SUB, 128), jnp.float32)
+    for ci in range(C):
+        env_e = _tile(R[ci][env_row, :])
+        rad[ci] = rad[ci] + jnp.where(escaped, beta[ci] * env_e * w_env, 0.0)
+    env_ct = escaped.astype(jnp.float32)
+
+    # ---- light-hit emission + MIS (pt_regen.py:100-116)
+    wi_world = -d
+    cos_at_light = cmath.dot(gn, wi_world)
+    side = _mat_param(mat_tab, _M_SIDE, mat_id, n_mats)
+    sharp = _mat_param(mat_tab, _M_SHARP, mat_id, n_mats)
+    mtype = _mat_param(mat_tab, _M_TYPE, mat_id, n_mats)
+    if have_lights:
+        pick_pdf = (1.0 - p_env) / float(max(n_lights, 1))
+        hyp = pick_pdf * t_hit * t_hit / jnp.maximum(
+            jnp.abs(cos_at_light) * area, 1e-30)
+        hyp = jnp.where(jnp.abs(cos_at_light) * area > 0.0, hyp, 0.0)
+        use_mis_l = (bounce_ct > 0.5) & nee_enabled
+        w_light = jnp.where(use_mis_l & (prev_pdf + hyp > 0.0),
+                            _balance(prev_pdf, jnp.maximum(hyp, 0.0)), 1.0)
+        is_light_hit = at_surface & (kind == 1.0)
+        for ci in range(C):
+            spd = _sel_rows(R[ci], mat_id, 4, n_mats, stride=5)
+            le = _emission_value(spd, mtype, side, sharp, cos_at_light)
+            rad[ci] = rad[ci] + jnp.where(is_light_hit, beta[ci] * le * w_light, 0.0)
+
+    # ---- shading frame
+    tgt, btg = cmath.orthonormal_basis(normal)
+    wi_local = cmath.to_local(tgt, btg, normal, wi_world)
+
+    # per-lane material parameters + spectra for bsdf dispatch
+    alpha = _mat_param(mat_tab, _M_ALPHA, mat_id, n_mats)
+    metal = _mat_param(mat_tab, _M_METAL, mat_id, n_mats)
+    perm = _mat_param(mat_tab, _M_PERM, mat_id, n_mats)
+    rscale = _mat_param(mat_tab, _M_RSCALE, mat_id, n_mats)
+    eta_i = [_sel_rows(R[ci], mat_id, 0, n_mats, stride=5) for ci in range(C)]
+    eta_o = [_sel_rows(R[ci], mat_id, 1, n_mats, stride=5) for ci in range(C)]
+    kappa = [_sel_rows(R[ci], mat_id, 2, n_mats, stride=5) for ci in range(C)]
+    refl = [rscale * _sel_rows(R[ci], mat_id, 3, n_mats, stride=5)
+            for ci in range(C)]
+
+    shadow_ct = jnp.zeros((SUB, 128), jnp.float32)
+
+    # ---- NEE (pt_regen.py:121-166)
+    if nee_enabled:
+        inv_ls = 1.0 / ls
+        for si in range(ls):
+            u_pick = _tile(u_ref[3 * si, :])
+            u1 = _tile(u_ref[3 * si + 1, :])
+            u2 = _tile(u_ref[3 * si + 2, :])
+            if p_env > 0.0:
+                chose_env = u_pick < p_env
+                u_pick2 = jnp.where(chose_env, u_pick / max(p_env, 1e-12),
+                                    (u_pick - p_env) / max(1.0 - p_env, 1e-12))
+                u_pick2 = jnp.clip(u_pick2, 0.0, 1.0 - 1e-7)
+            else:
+                chose_env = jnp.zeros((SUB, 128), bool)
+                u_pick2 = u_pick
+            # pick light + fetch light rows by L-loop
+            li = jnp.minimum(jnp.floor(u_pick2 * max(n_lights, 1)),
+                             float(max(n_lights, 1) - 1))
+
+            def lrow(row):
+                acc = jnp.zeros((SUB, 128), jnp.float32)
+                for l in range(max(n_lights, 1)):
+                    acc = acc + jnp.where(li == l, light_tab[row, l], 0.0)
+                return acc
+
+            lpa = V3(lrow(_L_PA), lrow(_L_PA + 1), lrow(_L_PA + 2))
+            lpb = V3(lrow(_L_PB), lrow(_L_PB + 1), lrow(_L_PB + 2))
+            lpc = V3(lrow(_L_PC), lrow(_L_PC + 1), lrow(_L_PC + 2))
+            lp_type = lrow(_L_PTYPE)
+            l_area = lrow(_L_AREA)
+            l_mat = lrow(_L_MAT)
+            l_mtype = lrow(_L_MTYPE)
+            l_side = lrow(_L_SIDE)
+            l_sharp = lrow(_L_SHARP)
+            lp, ln = _sample_surface_light(lp_type, lpa, lpb, lpc, u1, u2)
+            area_pdf = 1.0 / jnp.maximum(l_area, 1e-20)
+            to_l = lp - point
+            dist2 = jnp.maximum(cmath.length_squared(to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            dir_l = to_l.scale(1.0 / dist)
+            cos_l = cmath.dot(ln, -dir_l)
+            lp_pdf = 1.0 / float(max(n_lights, 1))
+            sa_pdf_light = (1.0 - p_env) * lp_pdf * area_pdf * jnp.where(
+                jnp.abs(cos_l) > 0.0, dist2 / jnp.maximum(jnp.abs(cos_l), 1e-30), 0.0)
+            if p_env > 0.0:
+                # constant-env NEE: uniform-uv direction (env_sample_uv)
+                env_d_uv = cmath.uv_to_direction(u1, u2)
+                ri = c["env_rot_inv"]
+                env_dir = V3(
+                    ri[0] * env_d_uv.x + ri[1] * env_d_uv.y + ri[2] * env_d_uv.z,
+                    ri[3] * env_d_uv.x + ri[4] * env_d_uv.y + ri[5] * env_d_uv.z,
+                    ri[6] * env_d_uv.x + ri[7] * env_d_uv.y + ri[8] * env_d_uv.z,
+                )
+                jac_s = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * u2) + 0.001
+                sa_pdf_env = (1.0 / jac_s) * p_env
+                nee_dir = cmath.where(chose_env, env_dir, dir_l)
+                nee_pdf = jnp.where(chose_env, sa_pdf_env, sa_pdf_light)
+                nee_tmax = jnp.where(chose_env, RAY_TMAX, dist * 0.99)
+            else:
+                nee_dir = dir_l
+                nee_pdf = sa_pdf_light
+                nee_tmax = dist * 0.99
+            wo_local = cmath.to_local(tgt, btg, normal, nee_dir)
+            max_le = jnp.zeros((SUB, 128), jnp.float32)
+            max_thr = jnp.zeros((SUB, 128), jnp.float32)
+            contribs = []
+            pdf_s0 = None
+            for ci in range(C):
+                f_ci, pdf_ci = _bsdf_eval_lane(
+                    mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
+                    refl[ci], wi_local, wo_local, TransportMode.Radiance)
+                if ci == 0:
+                    pdf_s0 = pdf_ci
+                spd_l = _sel_rows(R[ci], l_mat, 4, n_mats, stride=5)
+                le_inst = _emission_value(spd_l, l_mtype, l_side, l_sharp, cos_l)
+                if p_env > 0.0:
+                    env_e_s = _tile(R[ci][env_row, :])
+                    le_ci = jnp.where(chose_env, env_e_s, le_inst)
+                else:
+                    le_ci = le_inst
+                thr_ci = f_ci * jnp.abs(wo_local.z)
+                max_le = jnp.maximum(max_le, le_ci)
+                max_thr = jnp.maximum(max_thr, thr_ci)
+                contribs.append((thr_ci, le_ci))
+            worth = (at_surface & (max_le > 0.0) & (nee_pdf > 1e-12)
+                     & (max_thr > 0.0))
+            w_nee = _balance(nee_pdf, jnp.maximum(pdf_s0, 0.0))
+            w_nee = jnp.where(nee_pdf + jnp.maximum(pdf_s0, 0.0) > 0.0, w_nee, 1.0)
+            so = point + gn.scale(
+                NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9))
+            base = O_NEE + 12 * si
+            out_ref[base + 0, :] = _flatrow(so.x)
+            out_ref[base + 1, :] = _flatrow(so.y)
+            out_ref[base + 2, :] = _flatrow(so.z)
+            out_ref[base + 3, :] = _flatrow(nee_dir.x)
+            out_ref[base + 4, :] = _flatrow(nee_dir.y)
+            out_ref[base + 5, :] = _flatrow(nee_dir.z)
+            out_ref[base + 6, :] = _flatrow(nee_tmax)
+            out_ref[base + 7, :] = _flatrow(worth.astype(jnp.float32))
+            inv_pdf = jnp.where(nee_pdf > 1e-12, 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)
+            for ci in range(C):
+                thr_ci, le_ci = contribs[ci]
+                contrib = beta[ci] * thr_ci * le_ci * w_nee * inv_pdf * inv_ls
+                out_ref[base + 8 + ci, :] = _flatrow(contrib)
+            for ci in range(C, C_LANES):
+                out_ref[base + 8 + ci, :] = jnp.zeros((TILE,), jnp.float32)
+            shadow_ct = shadow_ct + (at_surface & worth).astype(jnp.float32)
+
+    # ---- BSDF sample (hero) + HWSS lane ratios (pt_regen.py:168-186)
+    u_b = [_tile(u_ref[3 * ls + i, :]) for i in range(3)]
+    # hero sample: lambertian + ggx, select by mtype
+    wo_lam_s, f_lam_s, pdf_lam_s = cmath.sample_lambertian(refl[0], wi_local,
+                                                           u_b[0], u_b[1])
+    w_lam_s = jnp.minimum(refl[0], 1.0)
+    a_g = jnp.maximum(alpha, 1e-4)
+    wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
+        a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3), kappa[0],
+        metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
+        TransportMode.Radiance)
+    is_ggx = mtype == MAT_GGX
+    wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
+    f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
+    ratio_hero = jnp.where(is_ggx, w_ggx_s, w_lam_s)
+    is_pass = mtype == 4.0
+    f_pdf = jnp.where(is_pass, 0.0, f_pdf)
+    ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
+
+    # companion-lane ratios via 4-lane eval (hero-death direct fallback)
+    f_lanes = []
+    for ci in range(C):
+        f_ci, _ = _bsdf_eval_lane(
+            mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
+            refl[ci], wi_local, wo_local_s, TransportMode.Radiance)
+        f_lanes.append(f_ci)
+    hero_f = f_lanes[0]
+    hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
+    inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
+    inv_fpdf = jnp.where(f_pdf > 1e-12, 1.0 / jnp.maximum(f_pdf, 1e-12), 0.0)
+    ratios = [ratio_hero]
+    for ci in range(1, C):
+        stable = ratio_hero * f_lanes[ci] * inv_hero
+        direct = f_lanes[ci] * jnp.abs(wo_local_s.z) * inv_fpdf
+        ratios.append(jnp.where(hero_dead, direct, stable))
+    sample_ok = (f_pdf > 1e-12)
+
+    d_new = cmath.normalize(cmath.to_world(tgt, btg, normal, wo_local_s))
+    o_new = point + gn.scale(NORMAL_OFFSET * jnp.sign(cmath.dot(gn, d_new)))
+
+    # ---- write out
+    for ci in range(C):
+        out_ref[O_RAD + ci, :] = _flatrow(rad[ci])
+        out_ref[O_RATIO + ci, :] = _flatrow(ratios[ci])
+    for ci in range(C, C_LANES):
+        out_ref[O_RAD + ci, :] = jnp.zeros((TILE,), jnp.float32)
+        out_ref[O_RATIO + ci, :] = jnp.zeros((TILE,), jnp.float32)
+    out_ref[O_AT_SURF, :] = _flatrow(at_surface.astype(jnp.float32))
+    out_ref[O_ENV_CT, :] = _flatrow(env_ct)
+    out_ref[O_SHADOW_CT, :] = _flatrow(shadow_ct)
+    out_ref[O_FPDF, :] = _flatrow(f_pdf)
+    out_ref[O_SAMPLE_OK, :] = _flatrow(sample_ok.astype(jnp.float32))
+    out_ref[O_ONEW + 0, :] = _flatrow(o_new.x)
+    out_ref[O_ONEW + 1, :] = _flatrow(o_new.y)
+    out_ref[O_ONEW + 2, :] = _flatrow(o_new.z)
+    out_ref[O_DNEW + 0, :] = _flatrow(d_new.x)
+    out_ref[O_DNEW + 1, :] = _flatrow(d_new.y)
+    out_ref[O_DNEW + 2, :] = _flatrow(d_new.z)
+    nk2 = _k2_rows(ls)
+    for row in range(O_NEE + 12 * ls, nk2):
+        out_ref[row, :] = jnp.zeros((TILE,), jnp.float32)
+
+
+# ----------------------------------------------------------------- kernel K4
+
+
+def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, blk_ref,
+                     out_ref):
+    c = consts
+    ls = settings["light_samples"]
+    C = settings["c_lanes"]
+    spp = settings["spp"]
+    max_bounces = settings["max_bounces"]
+    min_bounces = settings["min_bounces"]
+    rr_enabled = settings["russian_roulette"]
+    only_direct = settings["only_direct"]
+    width = settings["width"]
+    height = settings["height"]
+    start = settings["start"]
+    wb_lo = settings["wb_lo"]
+    wb_span = settings["wb_span"]
+
+    s = lambda i: _tile(state_ref[i, :])
+    k2 = lambda i: _tile(k2_ref[i, :])
+    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+    lam = [s(S_LAM + i) for i in range(C)]
+    beta = [s(S_BETA + i) for i in range(C)]
+    acc = [s(S_ACC + i) for i in range(3)]
+    done = s(S_DONE)
+    alive = s(S_ALIVE) > 0.5
+    bounce_ct = s(S_BOUNCE)
+
+    rad = [k2(O_RAD + i) for i in range(C)]
+    at_surface = k2(O_AT_SURF) > 0.5
+    f_pdf = k2(O_FPDF)
+    sample_ok = k2(O_SAMPLE_OK) > 0.5
+    ratios = [k2(O_RATIO + i) for i in range(C)]
+    o_new = V3(k2(O_ONEW), k2(O_ONEW + 1), k2(O_ONEW + 2))
+    d_new = V3(k2(O_DNEW), k2(O_DNEW + 1), k2(O_DNEW + 2))
+
+    # ---- resolve NEE with shadow results
+    for si in range(ls):
+        base = O_NEE + 12 * si
+        worth = k2(base + 7) > 0.5
+        blocked = _tile(blk_ref[si, :]) > 0.5
+        ok = worth & ~blocked
+        for ci in range(C):
+            rad[ci] = rad[ci] + jnp.where(ok, k2(base + 8 + ci), 0.0)
+
+    # ---- RR + continuation (pt_regen.py:186-203)
+    ratio_best = ratios[0]
+    for ci in range(1, C):
+        ratio_best = jnp.maximum(ratio_best, ratios[ci])
+    sample_ok = sample_ok & (ratio_best > 0.0)
+    u_rr = _tile(u_ref[3 * ls + 3, :])
+    if rr_enabled:
+        rr_on = bounce_ct >= min_bounces
+        p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
+    else:
+        p_cont = jnp.ones((SUB, 128), jnp.float32)
+    survive = u_rr < p_cont
+    inv_pc = 1.0 / jnp.maximum(p_cont, 1e-6)
+    beta_next = []
+    finite_ok = jnp.ones((SUB, 128), bool)
+    for ci in range(C):
+        bn = beta[ci] * jnp.where(sample_ok, ratios[ci] * inv_pc, 0.0)
+        beta_next.append(bn)
+        finite_ok = finite_ok & jnp.isfinite(bn)
+    hit_depth_cap = (bounce_ct + 1.0) >= max_bounces
+    continue_path = (at_surface & sample_ok & survive & ~hit_depth_cap
+                     & finite_ok)
+    if only_direct:
+        continue_path = continue_path & ~(bounce_ct >= 1.0)
+    bounce_ind = continue_path.astype(jnp.float32)
+
+    # ---- death -> XYZ accumulate (closed-form CIE; pt_regen.py:205-209)
+    died = alive & ~continue_path
+    from pathtracer_tpu.core import cie
+
+    xyz = [jnp.zeros((SUB, 128), jnp.float32) for _ in range(3)]
+    for ci in range(C):
+        e = rad[ci] * (wb_span / C)
+        xyz[0] = xyz[0] + e * cie.x_bar(lam[ci])
+        xyz[1] = xyz[1] + e * cie.y_bar(lam[ci])
+        xyz[2] = xyz[2] + e * cie.z_bar(lam[ci])
+    for i in range(3):
+        acc[i] = acc[i] + jnp.where(died, xyz[i], 0.0)
+    done = done + died.astype(jnp.float32)
+    has_work = died & (done < spp)
+    camera_ind = has_work.astype(jnp.float32)
+
+    # ---- respawn: thin-lens camera ray (camera/projective.py get_ray +
+    # camera/aperture.py sample_aperture, componentwise)
+    rnd = [_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)]
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0).astype(jnp.float32) * 128.0
+            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1).astype(jnp.float32)
+            + pl.program_id(0).astype(jnp.float32) * float(TILE))
+    pix = start + gidx
+    px = pix - jnp.floor(pix / width) * width
+    py = jnp.floor(pix / width)
+    film_u = (px + rnd[0]) / width
+    film_v = (py + rnd[1]) / height
+    # aperture sample
+    r_d = jnp.sqrt(rnd[2])
+    phi_d = 2.0 * jnp.pi * rnd[3]
+    dx_l = r_d * jnp.cos(phi_d)
+    dy_l = r_d * jnp.sin(phi_d)
+    if c["cam_blades"] >= 3:
+        bl = float(max(c["cam_blades"], 3))
+        phi_a = jnp.arctan2(dy_l, dx_l)
+        seg = 2.0 * jnp.pi / bl
+        a_ = jnp.mod(phi_a, seg) - seg / 2.0
+        poly = jnp.cos(jnp.pi / bl) / jnp.cos(a_)
+        t_ = min(max(c["cam_sharp"], 0.0), 1.0)
+        r_scale = (1.0 - t_) + t_ * poly
+    else:
+        r_scale = 1.0
+    lx = dx_l * r_scale * c["cam_lens_r"]
+    ly = dy_l * r_scale * c["cam_lens_r"]
+    co = V3(*[jnp.full((SUB, 128), c["cam_origin"][i], jnp.float32) for i in range(3)])
+    cu = c["cam_u"]
+    cv = c["cam_v"]
+    cw = c["cam_w"]
+    o_s = V3(co.x + lx * cu[0] + ly * cv[0],
+             co.y + lx * cu[1] + ly * cv[1],
+             co.z + lx * cu[2] + ly * cv[2])
+    fpx = (film_u * 2.0 - 1.0) * c["cam_half_w"]
+    fpy = (1.0 - film_v * 2.0) * c["cam_half_h"]
+    focal = V3(co.x + c["cam_focal"] * cw[0] + fpx * cu[0] + fpy * cv[0],
+               co.y + c["cam_focal"] * cw[1] + fpx * cu[1] + fpy * cv[1],
+               co.z + c["cam_focal"] * cw[2] + fpx * cu[2] + fpy * cv[2])
+    d_s = cmath.normalize(focal - o_s)
+    offs_lam = [((rnd[4] + ci / C) % 1.0) for ci in range(C)]
+    lam_s = [wb_lo + ol * wb_span for ol in offs_lam]
+
+    # ---- merge (pt_regen.py:216-227)
+    cp = continue_path
+    hw = has_work
+    o_out = cmath.where(cp, o_new, cmath.where(hw, o_s, o))
+    d_out = cmath.where(cp, d_new, cmath.where(hw, d_s, d))
+    out_ref[S_O + 0, :] = _flatrow(o_out.x)
+    out_ref[S_O + 1, :] = _flatrow(o_out.y)
+    out_ref[S_O + 2, :] = _flatrow(o_out.z)
+    out_ref[S_D + 0, :] = _flatrow(d_out.x)
+    out_ref[S_D + 1, :] = _flatrow(d_out.y)
+    out_ref[S_D + 2, :] = _flatrow(d_out.z)
+    for ci in range(C):
+        out_ref[S_LAM + ci, :] = _flatrow(jnp.where(hw, lam_s[ci], lam[ci]))
+        out_ref[S_BETA + ci, :] = _flatrow(
+            jnp.where(cp, beta_next[ci], jnp.where(hw, 1.0, beta[ci])))
+        out_ref[S_RAD + ci, :] = _flatrow(jnp.where(died, 0.0, rad[ci]))
+    for ci in range(C, C_LANES):
+        out_ref[S_LAM + ci, :] = state_ref[S_LAM + ci, :]
+        out_ref[S_BETA + ci, :] = state_ref[S_BETA + ci, :]
+        out_ref[S_RAD + ci, :] = state_ref[S_RAD + ci, :]
+    for i in range(3):
+        out_ref[S_ACC + i, :] = _flatrow(acc[i])
+    out_ref[S_DONE, :] = _flatrow(done)
+    out_ref[S_ALIVE, :] = _flatrow((cp | hw).astype(jnp.float32))
+    out_ref[S_BOUNCE, :] = _flatrow(
+        jnp.where(cp, bounce_ct + 1.0, jnp.where(hw, 0.0, bounce_ct)))
+    out_ref[S_PREV_PDF, :] = _flatrow(
+        jnp.where(cp, f_pdf, jnp.where(hw, 0.0, s(S_PREV_PDF))))
+    for row in range(S_PREV_PDF + 1, NS):
+        out_ref[row, :] = state_ref[row, :]
+    out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
+    out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
+    for row in range(O4_CAMERA_CT + 1, NK4):
+        out_ref[row, :] = jnp.zeros((TILE,), jnp.float32)
+
+
+# ------------------------------------------------------------------- driver
+
+
+def _full_block_spec(a):
+    return pl.BlockSpec(a.shape, lambda i: tuple(0 for _ in a.shape))
+
+
+def _row_spec(rows):
+    return pl.BlockSpec((rows, TILE), lambda i: (0, i))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
+def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
+    """One bounce round: K1 -> K2 -> K3 -> K4. Returns (state', counter4)."""
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    # the TPU-semantics interpreter (InterpretParams) handles what plain
+    # interpret mode can't
+    interp = pltpu.InterpretParams() if interpret else False
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    n_pad = state.shape[1]
+    ls = settings["light_samples"]
+    nk2 = _k2_rows(ls)
+
+    tmin_row = jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32)
+    tmax_row = jnp.full((1, n_pad), RAY_TMAX, jnp.float32)
+    rays = jnp.concatenate([state[S_O:S_O + 6], tmin_row, tmax_row], axis=0)
+    tp = _sweep_closest(rays, dense_tab, interpret=interpret)
+    tp = jnp.concatenate([tp, jnp.zeros((6, n_pad), jnp.float32)], axis=0)
+
+    nu = _n_u_rows(ls)
+    k2 = pl.pallas_call(
+        functools.partial(_shade_kernel, consts, settings),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            _row_spec(nu),
+            _row_spec(NS),
+            _row_spec(8),
+            _full_block_spec(prim_tab),
+            _full_block_spec(mat_tab),
+            _full_block_spec(light_tab),
+            _full_block_spec(spec_tab),
+        ],
+        out_specs=_row_spec(nk2),
+        out_shape=jax.ShapeDtypeStruct((nk2, n_pad), jnp.float32),
+        interpret=interp,
+    )(u, state, tp, prim_tab, mat_tab, light_tab, spec_tab)
+
+    # shadow sweeps
+    blk_rows = []
+    for si in range(ls):
+        base = O_NEE + 12 * si
+        srays = jnp.concatenate(
+            [k2[base:base + 6],
+             jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32),
+             k2[base + 6:base + 7]],
+            axis=0)
+        blk_rows.append(_sweep_any(srays, dense_tab, interpret=interpret))
+    if ls:
+        blk = jnp.concatenate(
+            blk_rows + [jnp.zeros((8 - ls, n_pad), jnp.float32)], axis=0)
+    else:
+        blk = jnp.zeros((8, n_pad), jnp.float32)
+
+    out4 = pl.pallas_call(
+        functools.partial(_finalize_kernel, consts, settings),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            _row_spec(nu),
+            _row_spec(NS),
+            _row_spec(nk2),
+            _row_spec(8),
+        ],
+        out_specs=_row_spec(NK4),
+        out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
+        interpret=interp,
+    )(u, state, k2, blk)
+
+    state_out = out4[:NS]
+    counters = jnp.stack([
+        jnp.sum(out4[O4_BOUNCE_CT]),       # BOUNCE_RAYS
+        jnp.sum(k2[O_SHADOW_CT]),          # SHADOW_RAYS
+        jnp.sum(out4[O4_CAMERA_CT]),       # CAMERA_RAYS
+        jnp.sum(k2[O_ENV_CT]),             # ENV_HITS
+    ])
+    return state_out, counters
+
+
+def _freeze(d):
+    return tuple(sorted(d.items()))
+
+
+def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
+                        start=0, batch_n=None, interpret=False):
+    """Megakernel drop-in for integrator.pt_regen.pt_trace_regen: renders
+    `spp` samples for pixels [start, start+batch_n) with one lane per pixel.
+    Returns (xyz sums [batch_n, 3], counters[5]).
+
+    Estimator-identical to the XLA regen loop (same NEE/MIS/RR/HWSS math —
+    see _shade_kernel/_finalize_kernel citations); RNG differs (Mosaic
+    PRNG), so outputs agree statistically, not bit-wise.
+    """
+    c_lanes = C_LANES if settings.hwss else 1
+    scene = build_mega_scene(world, camera, settings)
+    n = batch_n or (width * height)
+    # lane padding must satisfy both this module's TILE and the sweep
+    # kernels' RAY_TILE grids
+    step = max(TILE, RAY_TILE)
+    n_pad = -(-n // step) * step
+    wb = settings.wavelength_bounds
+
+    settings_d = dict(
+        c_lanes=c_lanes,
+        light_samples=int(settings.light_samples),
+        spp=float(spp),
+        max_bounces=float(settings.max_bounces),
+        min_bounces=float(settings.min_bounces),
+        russian_roulette=bool(settings.russian_roulette),
+        only_direct=bool(settings.only_direct),
+        width=float(width),
+        height=float(height),
+        start=float(start),
+        wb_lo=float(wb.lower),
+        wb_span=float(wb.span),
+    )
+
+    # ---- initial spawn in XLA (reuses the tested camera path; the kernel
+    # respawns all subsequent samples)
+    import jax.random as jrandom
+
+    from pathtracer_tpu.core import sampling
+
+    pix = start + jnp.arange(n_pad, dtype=jnp.int32)
+    xy = jnp.stack([(pix % width).astype(jnp.float32),
+                    (pix // width).astype(jnp.float32)], axis=-1)
+    rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
+    film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
+    offs = jnp.arange(c_lanes, dtype=jnp.float32) / c_lanes
+    lam0 = wb.lower + ((rnd0[:, 4:5] + offs[None, :]) % 1.0) * wb.span
+    o0, d0, tau0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1],
+                                  rnd0[:, 2], rnd0[:, 3])
+    in_batch = jnp.arange(n_pad) < n
+    state = jnp.zeros((NS, n_pad), jnp.float32)
+    state = state.at[S_O:S_O + 3].set(o0.T)
+    state = state.at[S_D:S_D + 3].set(d0.T)
+    state = state.at[S_LAM:S_LAM + c_lanes].set(lam0.T)
+    state = state.at[S_BETA:S_BETA + c_lanes].set(
+        jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
+    state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, float(spp)))
+    state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
+
+    tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
+            scene.spec_tab)
+    settings_t = _freeze(settings_d)
+    consts_t = _freeze(scene.consts)
+    k_iter = sampling.fold(key, 2)
+    nu = _n_u_rows(int(settings.light_samples))
+
+    def body(carry):
+        it, state, counters = carry
+        u = jrandom.uniform(jrandom.fold_in(k_iter, it), (nu, state.shape[1]))
+        state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
+                                    interpret)
+        counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
+        counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
+        counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
+        counters = counters.at[prof.ENV_HITS].add(c4[3])
+        return it + 1, state, counters
+
+    def cond(carry):
+        return jnp.any(carry[1][S_ALIVE] > 0.5)
+
+    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
+    _, state, counters = jax.lax.while_loop(cond, body,
+                                            (jnp.int32(0), state, counters0))
+    acc = state[S_ACC:S_ACC + 3, :n].T
+    return acc, counters

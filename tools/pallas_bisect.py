@@ -146,7 +146,7 @@ def stage_while():
 
 def stage_iota_transcendental():
     def k(x_ref, o_ref):
-        rows = jax.lax.broadcasted_iota(jnp.float32, x_ref.shape, 0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, x_ref.shape, 0).astype(jnp.float32)
         o_ref[:] = jnp.exp(-x_ref[:]) + jnp.sqrt(rows) + jax.lax.rsqrt(x_ref[:] + 1.0)
     x = jnp.ones((64, 128), jnp.float32)
     out = pl.pallas_call(
@@ -203,7 +203,7 @@ def stage_lut_matmul():
         out = jnp.zeros((flat.shape[0], 128), jnp.float32)
         for c in range(flat.shape[0] // CH):
             sl = flat[c * CH:(c + 1) * CH]
-            oh = (jax.lax.broadcasted_iota(jnp.float32, (CH, 512), 1)
+            oh = (jax.lax.broadcasted_iota(jnp.int32, (CH, 512), 1).astype(jnp.float32)
                   == sl).astype(jnp.float32)
             out = out.at[c * CH:(c + 1) * CH].set(
                 jnp.dot(oh, tab, preferred_element_type=jnp.float32))
