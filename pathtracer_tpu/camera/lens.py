@@ -189,3 +189,42 @@ def trace_from_film(stack: LensStack, o, d, lam):
         d = jnp.where(valid[..., None], d_new, d)
         cur_ior = jnp.where(is_stop, cur_ior, n_front)
     return o, d, valid
+
+
+def trace_to_film(stack: LensStack, o, d, lam):
+    """Reverse trace: rays entering the FRONT of the assembly (travelling -z
+    toward the film) through all interfaces FRONT -> REAR. Returns
+    (o_out, d_out, valid) with o_out on the rear-most interface; intersect
+    the film plane from there. Inverse of trace_from_film — enables
+    film-side splatting (LT/BDPT get_pixel_for_ray) through real lens
+    assemblies, which the reference leaves todo!()
+    (src/camera/realistic_camera.rs:201-205)."""
+    n_elems = stack.z_front.shape[0]
+    valid = jnp.ones(o.shape[:-1], bool)
+    cur_ior = jnp.ones(o.shape[:-1])  # air on the scene side
+    for i in range(n_elems):
+        z_v = stack.z_front[i]
+        radius = stack.radius[i]
+        t, n_i, ok = _intersect_interface(o, d, z_v, radius)
+        p = o + t[..., None] * d
+        r2 = p[..., 0] ** 2 + p[..., 1] ** 2
+        within = r2 <= stack.aperture[i] ** 2
+        # medium BEHIND interface i (film side) = glass of element i; behind
+        # the rear-most interface is air (sensor chamber)
+        if i == n_elems - 1:
+            n_behind = jnp.ones_like(cur_ior)
+        else:
+            n_behind = stack.cauchy_a[i] + stack.cauchy_b[i] / (lam * lam)
+        is_stop = stack.is_stop[i]
+        n_oriented = jnp.where(
+            (vecmath.dot(n_i, d) > 0.0)[..., None], -n_i, n_i
+        )
+        eta_rel = cur_ior / jnp.maximum(n_behind, 1e-6)
+        wt, tir = vecmath.refract(-d, n_oriented, eta_rel)
+        d_new = jnp.where(is_stop[..., None] | jnp.zeros_like(d, bool), d,
+                          vecmath.normalize(wt))
+        valid = valid & ok & within & ~(jnp.where(is_stop, False, tir))
+        o = p
+        d = jnp.where(valid[..., None], d_new, d)
+        cur_ior = jnp.where(is_stop, cur_ior, n_behind)
+    return o, d, valid

@@ -16,7 +16,13 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from pathtracer_tpu.camera.lens import LensStack, build_lens_stack, parse_lenses_from, trace_from_film
+from pathtracer_tpu.camera.lens import (
+    LensStack,
+    build_lens_stack,
+    parse_lenses_from,
+    trace_from_film,
+    trace_to_film,
+)
 from pathtracer_tpu.core import sampling, vecmath
 from pathtracer_tpu.parsing.paths import resolve
 
@@ -30,48 +36,35 @@ class RealisticCamera(NamedTuple):
     sensor_half: jnp.ndarray  # f32 sensor half-size (m)
     aspect: jnp.ndarray  # f32
     film_z_offset: jnp.ndarray  # f32 focus adjustment (shifts the sensor)
-    pupil_radii: jnp.ndarray  # f32[K] exit-pupil radius per film radius bin
+    # exit-pupil radius per (film radius, λ) bin — the reference's
+    # RadialSampler caches radial×wavelength bins
+    # (src/camera/realistic_camera.rs:146-181); λ-binning keeps the pupil
+    # chromatic (short-λ rays refract harder, shifting the usable pupil)
+    pupil_radii: jnp.ndarray  # f32[K_r, K_l]
+    lam_lo: jnp.ndarray  # f32 λ-bin range
+    lam_hi: jnp.ndarray
     rear_z: jnp.ndarray  # f32 z of the rear interface vertex
     rear_aperture: jnp.ndarray  # f32
 
+    def _pupil_radius(self, film_r, lam):
+        k_r, k_l = self.pupil_radii.shape
+        rmax = self.sensor_half * jnp.sqrt(self.aspect**2 + 1.0)
+        bin_r = jnp.clip((film_r / rmax * k_r).astype(jnp.int32), 0, k_r - 1)
+        lt = (lam - self.lam_lo) / jnp.maximum(self.lam_hi - self.lam_lo, 1e-6)
+        bin_l = jnp.clip((lt * k_l).astype(jnp.int32), 0, k_l - 1)
+        return self.pupil_radii[bin_r, bin_l]
+
     def get_ray(self, film_u, film_v, lens_u1, lens_u2):
         """Returns (o_world, d_world, tau) — tau==0 marks vignetted rays."""
-        # sensor point (camera space, z slightly negative of 0 for focus)
-        sx = (film_u * 2.0 - 1.0) * self.sensor_half * self.aspect
-        sy = (1.0 - film_v * 2.0) * self.sensor_half
-        film_r = jnp.sqrt(sx * sx + sy * sy)
-        k = self.pupil_radii.shape[0]
-        rmax = self.sensor_half * jnp.sqrt(self.aspect**2 + 1.0)
-        bin_idx = jnp.clip((film_r / rmax * k).astype(jnp.int32), 0, k - 1)
-        pupil_r = self.pupil_radii[bin_idx]
-        o_cam = jnp.stack([sx, sy, jnp.broadcast_to(self.film_z_offset, sx.shape)], -1)
-        disk = sampling.random_in_unit_disk(lens_u1, lens_u2) * pupil_r[..., None]
-        target = jnp.stack([disk[..., 0], disk[..., 1], jnp.broadcast_to(self.rear_z, sx.shape)], -1)
-        d_cam = vecmath.normalize(target - o_cam)
-        lam = jnp.full(sx.shape, 550.0)  # pupil geometry is λ-insensitive enough
-        o_out, d_out, valid = trace_from_film(self.stack, o_cam, d_cam, lam)
-        # to world: camera space z+ = forward
-        o_world = (
-            self.origin
-            + o_out[..., 0:1] * self.u
-            + o_out[..., 1:2] * self.v
-            + (o_out[..., 2:3] - self.stack.total_thickness) * self.w
-        )
-        d_world = vecmath.normalize(
-            d_out[..., 0:1] * self.u + d_out[..., 1:2] * self.v + d_out[..., 2:3] * self.w
-        )
-        tau = valid.astype(jnp.float32)
-        return o_world, d_world, tau
+        return self.get_ray_spectral(film_u, film_v, lens_u1, lens_u2,
+                                     jnp.full(jnp.shape(film_u), 550.0))
 
     def get_ray_spectral(self, film_u, film_v, lens_u1, lens_u2, lam):
-        """λ-aware variant: real chromatic aberration."""
+        """λ-aware imaging: the exit pupil AND the trace are chromatic."""
         sx = (film_u * 2.0 - 1.0) * self.sensor_half * self.aspect
         sy = (1.0 - film_v * 2.0) * self.sensor_half
         film_r = jnp.sqrt(sx * sx + sy * sy)
-        k = self.pupil_radii.shape[0]
-        rmax = self.sensor_half * jnp.sqrt(self.aspect**2 + 1.0)
-        bin_idx = jnp.clip((film_r / rmax * k).astype(jnp.int32), 0, k - 1)
-        pupil_r = self.pupil_radii[bin_idx]
+        pupil_r = self._pupil_radius(film_r, lam)
         o_cam = jnp.stack([sx, sy, jnp.broadcast_to(self.film_z_offset, sx.shape)], -1)
         disk = sampling.random_in_unit_disk(lens_u1, lens_u2) * pupil_r[..., None]
         target = jnp.stack([disk[..., 0], disk[..., 1], jnp.broadcast_to(self.rear_z, sx.shape)], -1)
@@ -88,41 +81,86 @@ class RealisticCamera(NamedTuple):
         )
         return o_world, d_world, valid.astype(jnp.float32)
 
-    def get_pixel_for_ray(self, o, d):
-        """Splatting support is not yet implemented for lens assemblies
-        (the reference's panorama camera has the same todo)."""
-        z = jnp.zeros(o.shape[:-1])
-        return z, z, z > 1.0
+    def get_pixel_for_ray(self, o, d, lam=None):
+        """Film (u, v) for a ray arriving at the front of the assembly:
+        reverse-trace scene->film through every interface (lens.trace_to_film)
+        and intersect the sensor plane. Unlocks LT/BDPT splatting through
+        lens assemblies — the reference leaves this todo!()
+        (src/camera/realistic_camera.rs:201-205). `o`: world point on/near
+        the front element; `d`: direction INTO the scene (projective.py
+        convention — the arriving particle travels -d)."""
+        rel = o - self.origin
+        o_cam = jnp.stack([
+            vecmath.dot(rel, self.u),
+            vecmath.dot(rel, self.v),
+            vecmath.dot(rel, self.w) + self.stack.total_thickness,
+        ], -1)
+        # the ray travels TOWARD the film: flip d into camera space
+        d_cam = jnp.stack([
+            -vecmath.dot(d, self.u),
+            -vecmath.dot(d, self.v),
+            -vecmath.dot(d, self.w),
+        ], -1)
+        going_in = d_cam[..., 2] < 0.0  # must head from scene toward film
+        if lam is None:
+            lam = jnp.full(o_cam.shape[:-1], 550.0)
+        # start slightly in front of the first interface so the first
+        # intersection is the front element
+        o_start = o_cam.at[..., 2].set(
+            jnp.maximum(o_cam[..., 2], self.stack.total_thickness + 1e-6))
+        p, d_exit, valid = trace_to_film(self.stack, o_start, d_cam, lam)
+        t = (self.film_z_offset - p[..., 2]) / jnp.where(
+            jnp.abs(d_exit[..., 2]) > 1e-9, d_exit[..., 2], 1.0)
+        sensor = p + t[..., None] * d_exit
+        film_u = (sensor[..., 0] / (self.sensor_half * self.aspect) + 1.0) * 0.5
+        film_v = (1.0 - sensor[..., 1] / self.sensor_half) * 0.5
+        inside = ((film_u >= 0.0) & (film_u < 1.0)
+                  & (film_v >= 0.0) & (film_v < 1.0))
+        ok = valid & going_in & (t > 0.0) & inside
+        return film_u, film_v, ok
 
     def eval_we(self, o, d):
         return (vecmath.dot(d, self.w) > 0.0).astype(jnp.float32)
 
 
+LAM_BIN_LO, LAM_BIN_HI = 380.0, 780.0
+
+
 def _bake_pupil_radii(stack: LensStack, sensor_half: float, film_z: float,
-                      k_bins: int = 16, probes: int = 4096, seed: int = 0):
+                      k_bins: int = 16, lam_bins: int = 8,
+                      probes: int = 4096, seed: int = 0):
     """Host-side exit-pupil bake (RadialSampler-cache equivalent,
-    realistic_camera.rs radial×λ bins): for each film radius bin, MC-probe
-    the rear aperture disk and record the max radius that traces through."""
+    src/camera/realistic_camera.rs:146-181 — radial×WAVELENGTH bins): for
+    each (film radius, λ) bin, MC-probe the rear aperture disk and record
+    the max radius that traces through. One batched trace per radius bin
+    (probes × λ-bins rays)."""
     rng = np.random.default_rng(seed)
     rear_ap = float(stack.aperture[-1])
     rear_z = float(stack.z_front[-1])
-    radii = np.zeros(k_bins, np.float32)
+    radii = np.zeros((k_bins, lam_bins), np.float32)
     rmax = sensor_half * np.sqrt(2.0)
+    lams = LAM_BIN_LO + (np.arange(lam_bins) + 0.5) / lam_bins * (
+        LAM_BIN_HI - LAM_BIN_LO)
     for b in range(k_bins):
         film_r = (b + 0.5) / k_bins * rmax
-        o = np.zeros((probes, 3), np.float32)
+        n = probes * lam_bins
+        o = np.zeros((n, 3), np.float32)
         o[:, 0] = film_r
         o[:, 2] = film_z
-        rr = np.sqrt(rng.uniform(size=probes)) * rear_ap
-        phi = rng.uniform(0, 2 * np.pi, size=probes)
-        target = np.stack([rr * np.cos(phi), rr * np.sin(phi), np.full(probes, rear_z)], -1)
+        rr = np.sqrt(rng.uniform(size=n)) * rear_ap
+        phi = rng.uniform(0, 2 * np.pi, size=n)
+        target = np.stack([rr * np.cos(phi), rr * np.sin(phi), np.full(n, rear_z)], -1)
         d = target - o
         d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        lam = np.repeat(lams, probes).astype(np.float32)
         _, _, valid = trace_from_film(
-            stack, jnp.asarray(o), jnp.asarray(d), jnp.full((probes,), 550.0)
+            stack, jnp.asarray(o), jnp.asarray(d), jnp.asarray(lam)
         )
-        valid = np.asarray(valid)
-        radii[b] = rr[valid].max() * 1.05 if valid.any() else rear_ap
+        valid = np.asarray(valid).reshape(lam_bins, probes)
+        rr2 = rr.reshape(lam_bins, probes)
+        for l in range(lam_bins):
+            radii[b, l] = (rr2[l][valid[l]].max() * 1.05
+                           if valid[l].any() else rear_ap)
     return jnp.asarray(radii)
 
 
@@ -143,7 +181,8 @@ def make_realistic_camera(data: dict, aspect_ratio: float = 1.0,
     sensor_half = sensor_mm * 1e-3 / 2.0
     film_z = -float(data.get("focal_adjustment", 0.0)) * 1e-3
     pupil = _bake_pupil_radii(stack, sensor_half, film_z,
-                              k_bins=int(data.get("radial_bins", 16)))
+                              k_bins=int(data.get("radial_bins", 16)),
+                              lam_bins=int(data.get("wavelength_bins", 8)))
     lf = np.asarray(data.get("look_from", [0, 0, 0]), np.float64)
     la = np.asarray(data.get("look_at", [1, 0, 0]), np.float64)
     w = la - lf
@@ -164,6 +203,8 @@ def make_realistic_camera(data: dict, aspect_ratio: float = 1.0,
         aspect=jnp.float32(aspect_ratio),
         film_z_offset=jnp.float32(film_z),
         pupil_radii=pupil,
+        lam_lo=jnp.float32(LAM_BIN_LO),
+        lam_hi=jnp.float32(LAM_BIN_HI),
         rear_z=stack.z_front[-1],
         rear_aperture=stack.aperture[-1],
     )

@@ -27,7 +27,7 @@ from pathtracer_tpu.parsing.paths import DEFAULT_SEARCH_PATHS, resolve
 from pathtracer_tpu.integrator.pt import PTSettings
 from pathtracer_tpu.integrator.lt import LTSettings
 from pathtracer_tpu.integrator.bdpt import BDPTSettings
-from pathtracer_tpu.renderer.naive import render_sampled
+from pathtracer_tpu.renderer.naive import render_sampled  # noqa: F401 (naive-renderer configs)
 from pathtracer_tpu.renderer.persistent import render_regen
 from pathtracer_tpu.renderer.splatted import render_splatted
 from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
@@ -118,14 +118,10 @@ def render_settings_entry(bundle, rs, key, output_dir="output", spp=None, size=N
             tile_size=tile_size, key=key, sample_chunk=min(8, spp),
             progress=lambda done, total: log.info("  %d/%d spp", done, total),
         )
-    elif settings.medium_aware:
-        film, profile, elapsed = render_sampled(
-            bundle.world, camera, settings, width, height, spp, key=key,
-            sample_chunk=min(8, spp),
-            progress=lambda done, total: log.info("  %d/%d spp", done, total),
-        )
     else:
-        # sample-regeneration wavefront: ~2x the plain loop's throughput
+        # sample-regeneration wavefront (medium-aware since r3: the tracked-
+        # medium free flight + stack transitions run inside the regen body,
+        # so cornell_box_medium-class scenes keep full occupancy too)
         film, profile, elapsed = render_regen(
             bundle.world, camera, settings, width, height, spp, key=key,
         )

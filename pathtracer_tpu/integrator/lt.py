@@ -53,6 +53,14 @@ class LTSettings:
     camera_samples: int = 1
     russian_roulette: bool = True
     wavelength_bounds: Bounds1D = BOUNDED_VISIBLE_RANGE
+    # stratified light-surface/λ sampling mirroring the reference's
+    # StratifiedSampler(20, 20, 10) in the LT executor
+    # (src/renderer/naive.rs:276): the emitter surface (u, v) is jittered
+    # over a 20x20 grid and λ over 10 strata, cycled across the particle
+    # population. Off = pure threefry uniforms (reference RandomSampler).
+    stratified: bool = False
+    strata_uv: int = 20
+    strata_lam: int = 10
 
 
 def _sample_emission_direction(world, mat_id, normal, u1, u2, u_side):
@@ -160,6 +168,20 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
     wb = settings.wavelength_bounds
     k_init, k_walk = jax.random.split(key)
     u0 = jax.random.uniform(k_init, (n, 9))
+    if settings.stratified:
+        # StratifiedSampler(20,20,10) port: particle i lands in stratum
+        # i mod (20*20*10); the in-stratum offset is the threefry jitter.
+        # Lower-variance emitter-surface + λ coverage at equal path counts.
+        suv = settings.strata_uv
+        slam = settings.strata_lam
+        cells = suv * suv * slam
+        cid = jnp.arange(n, dtype=jnp.int32) % cells
+        cu = (cid % suv).astype(jnp.float32)
+        cv = ((cid // suv) % suv).astype(jnp.float32)
+        cl = (cid // (suv * suv)).astype(jnp.float32)
+        u0 = u0.at[:, 1].set((cu + u0[:, 1]) / suv)
+        u0 = u0.at[:, 2].set((cv + u0[:, 2]) / suv)
+        u0 = u0.at[:, 3].set((cl + u0[:, 3]) / slam)
 
     # ---- emission source pick: instance light vs environment by
     # env_sampling_probability (lt.rs:106-158 `choose`)

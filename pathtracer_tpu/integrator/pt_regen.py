@@ -9,8 +9,11 @@ path's radiance locally and immediately starts its next sample of the SAME
 pixel. No scatter, no compaction — occupancy stays high until the final
 per-lane sample counts drain.
 
-Shares pt.py's sampling conventions (NEE + MIS, RR, HWSS lanes);
-surface-only (media use pt.py).
+Shares pt.py's sampling conventions (NEE + MIS, RR, HWSS lanes), including
+the medium-aware machinery (tracked-medium stack free flight, σ-share
+scatterer pick, phase sampling, NEE transmittance — utils.rs:708-1103):
+medium scenes keep regen occupancy instead of falling back to the
+wavefront-drain loop (VERDICT r2 #7).
 """
 
 from __future__ import annotations
@@ -40,8 +43,8 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
     """Render `spp` samples for pixels [start, start+batch_n) with one lane
     per pixel and immediate sample regeneration.
     Returns (xyz sums [batch_n, 3] — divide by spp, counters[5])."""
-    assert not settings.medium_aware, "regen mode is surface-only for now"
     n = batch_n or (width * height)
+    medium_aware = settings.medium_aware
     C = HWSS_LANES if settings.hwss else 1
     wb = settings.wavelength_bounds
     env_prob = jnp.clip(world.env_sampling_probability, 0.0, 1.0)
@@ -77,9 +80,17 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
 
     n_u = 7 + 3 * max(settings.light_samples, 1) + 5
 
+    if medium_aware:
+        from pathtracer_tpu.integrator.pt import MEDIUM_STACK_K, _stack_push, _stack_remove
+        from pathtracer_tpu.mediums.tables import (
+            medium_coefficients,
+            phase_eval,
+            phase_sample,
+        )
+
     def body(state):
         (rnd_i, o, d, lam, beta, path_rad, acc, done, alive, bounce_ct,
-         prev_pdf, counters) = state
+         prev_pdf, med_stack, counters) = state
         u = jax.random.uniform(sampling.fold(key, rnd_i), (n, n_u))
         lam_f = lam.reshape(-1)
         hr = world.intersect(
@@ -87,10 +98,51 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
             jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
             jnp.full((n,), RAY_TMAX, jnp.float32),
         )
-        # camera lens proxies absorb the path (MaterialId::Camera)
-        at_surface = alive & hr.hit & (hr.mat_kind != 2)
 
-        escaped = alive & ~hr.hit
+        # ---- free flight over the tracked-medium stack (pt.py:151-192 /
+        # utils.rs:767-805: one combined exponential with rate Σσs + a
+        # σ-share categorical pick is the reference's per-medium race)
+        if medium_aware:
+            sigma_s = jnp.zeros((n, C))
+            sigma_a = jnp.zeros((n, C))
+            ss_hero_slots = []
+            for k in range(MEDIUM_STACK_K):
+                ss_k, sa_k, _ = [
+                    lanes(x) for x in medium_coefficients(
+                        world.mediums, world.bank, rep(med_stack[:, k]), lam_f
+                    )
+                ]
+                sigma_s = sigma_s + ss_k
+                sigma_a = sigma_a + sa_k
+                ss_hero_slots.append(ss_k[:, 0])
+            sigma_t = sigma_s + sigma_a
+            ss_hero = sigma_s[:, 0]
+            flight = jnp.where(
+                ss_hero > 1e-12,
+                -jnp.log(jnp.maximum(1.0 - u[:, 4], 1e-12)) / jnp.maximum(ss_hero, 1e-12),
+                jnp.inf,
+            )
+            surf_t = jnp.where(hr.hit, hr.t, RAY_TMAX)
+            scattered = alive & (flight < surf_t)
+            travel = jnp.minimum(jnp.minimum(flight, surf_t), 1e8)
+            ss_slots = jnp.stack(ss_hero_slots, axis=-1)  # [N, K]
+            cum = jnp.cumsum(ss_slots, axis=-1)
+            pick = u[:, n_u - 1] * jnp.maximum(ss_hero, 1e-20)
+            slot = jnp.sum((cum < pick[:, None]).astype(jnp.int32), axis=-1)
+            slot = jnp.minimum(slot, MEDIUM_STACK_K - 1)
+            scat_med = jnp.take_along_axis(med_stack, slot[:, None], axis=-1)[:, 0]
+            in_med = alive & jnp.any(med_stack != 0, axis=-1)
+            w_exp = jnp.exp(-(sigma_t - ss_hero[:, None]) * travel[:, None])
+            w_scat = safe_div(sigma_s, ss_hero[:, None]) * w_exp
+            lane_w = jnp.where(scattered[:, None], w_scat, w_exp)
+            beta = beta * jnp.where(in_med[:, None], lane_w, 1.0)
+        else:
+            scattered = jnp.zeros((n,), bool)
+
+        # camera lens proxies absorb the path (MaterialId::Camera)
+        at_surface = alive & hr.hit & (hr.mat_kind != 2) & ~scattered
+
+        escaped = alive & ~hr.hit & ~scattered
         env_e = lanes(env_emission(world.env, world.bank, world.tex, rep(d), lam_f))
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce_ct > 0) & nee_enabled & (p_env > 0.0)
@@ -117,6 +169,11 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
 
         frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
         wi_local = frame.to_local(wi_world)
+        if medium_aware:
+            scatter_p = o + travel[..., None] * d
+            point = jnp.where(scattered[..., None], scatter_p, hr.point)
+        else:
+            point = hr.point
 
         if nee_enabled:
             inv_ls = 1.0 / settings.light_samples
@@ -126,7 +183,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
                 light_prim, lp_pdf = world.pick_random_light(u_pick2)
                 lp, ln, area_pdf = sample_surface(world.prims, light_prim,
                                                   u[:, base + 1], u[:, base + 2])
-                to_l = lp - hr.point
+                to_l = lp - point
                 dist2 = jnp.maximum(vecmath.length_squared(to_l), 1e-12)
                 dist = jnp.sqrt(dist2)
                 dir_l = to_l / dist[..., None]
@@ -150,20 +207,49 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
                                        rep(wi_local), rep(wo_local),
                                        TransportMode.Radiance)
                 f_s, pdf_s = lanes(f_s), lanes(pdf_s)
-                thr = f_s * jnp.abs(wo_local[..., 2])[:, None]
-                worth = at_surface & (jnp.max(nee_le, -1) > 0.0) & (nee_pdf > 1e-12) & (
+                thr_surf = f_s * jnp.abs(wo_local[..., 2])[:, None]
+                if medium_aware:
+                    # phase of the scattering medium toward the NEE dir
+                    ph = lanes(phase_eval(
+                        world.mediums, world.bank, rep(scat_med), lam_f,
+                        rep(vecmath.dot(d, nee_dir)),
+                    ))
+                    thr = jnp.where(scattered[:, None], ph, thr_surf)
+                    fwd_pdf_hero = jnp.where(scattered, ph[:, 0], pdf_s[:, 0])
+                    nee_src = at_surface | scattered
+                else:
+                    thr = thr_surf
+                    fwd_pdf_hero = pdf_s[:, 0]
+                    nee_src = at_surface
+                worth = nee_src & (jnp.max(nee_le, -1) > 0.0) & (nee_pdf > 1e-12) & (
                     jnp.max(thr, -1) > 0.0)
-                so = hr.point + hr.geo_normal * (
-                    NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, nee_dir) + 1e-9)
+                if medium_aware:
+                    offset_n = jnp.where(
+                        scattered[..., None], jnp.zeros_like(hr.geo_normal),
+                        hr.geo_normal)
+                else:
+                    offset_n = hr.geo_normal
+                so = point + offset_n * (
+                    NORMAL_OFFSET * jnp.sign(vecmath.dot(offset_n, nee_dir) + 1e-9)
                 )[..., None]
                 blocked = world.intersect_any(
                     so, nee_dir,
                     jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32), nee_tmax)
-                w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, pdf_s[:, 0])
-                contrib = beta * thr * nee_le * safe_div(w_nee, nee_pdf)[:, None] * inv_ls
+                if medium_aware:
+                    tr_dist = jnp.where(chose_env, 2.0 * world.radius, dist)
+                    tr = jnp.where(
+                        in_med[:, None],
+                        jnp.exp(-sigma_t * jnp.minimum(tr_dist, 1e8)[:, None]),
+                        1.0,
+                    )
+                else:
+                    tr = 1.0
+                w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf_hero)
+                contrib = (beta * thr * nee_le * tr
+                           * safe_div(w_nee, nee_pdf)[:, None] * inv_ls)
                 path_rad = path_rad + jnp.where((worth & ~blocked)[:, None], contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
-                    jnp.sum((at_surface & worth).astype(jnp.float32)))
+                    jnp.sum(worth.astype(jnp.float32)))
 
         wo_local, f_h, f_pdf, ratio_hero = bsdf_sample(
             world.mats, world.bank, world.tex, mat_id, lam[:, 0], hr.uv,
@@ -183,8 +269,30 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
             ratio_lanes = jnp.concatenate([ratio_hero[:, None], ratio_lanes[:, 1:]], 1)
         else:
             ratio_lanes = ratio_hero[:, None]
+        d_surf = vecmath.normalize(frame.to_world(wo_local))
+        if medium_aware:
+            # phase sampling at medium scatter events (pt.py:352-367)
+            wo_med, ph_pdf_f = phase_sample(
+                world.mediums, world.bank, scat_med, lam[:, 0], d,
+                u[:, 5], u[:, 6])
+            if C > 1:
+                ph_lanes = lanes(phase_eval(
+                    world.mediums, world.bank, rep(scat_med), lam_f,
+                    rep(vecmath.dot(d, wo_med)),
+                ))
+                ph_scale = safe_div(ph_lanes, ph_lanes[:, :1])
+                ph_scale = jnp.concatenate([jnp.ones((n, 1)), ph_scale[:, 1:]], 1)
+            else:
+                ph_scale = jnp.ones((n, 1))
+            ratio_lanes = jnp.where(scattered[:, None], ph_scale, ratio_lanes)
+            f_pdf = jnp.where(scattered, ph_pdf_f, f_pdf)
+            d_new = jnp.where(scattered[..., None], wo_med, d_surf)
+        else:
+            d_new = d_surf
         ratio_best = jnp.max(ratio_lanes, axis=-1)
-        sample_ok = (f_pdf > 1e-12) & (ratio_best > 0.0)
+        if medium_aware:
+            ratio_best = jnp.where(scattered, 1.0, ratio_best)
+        sample_ok = scattered | ((f_pdf > 1e-12) & (ratio_best > 0.0))
         if settings.russian_roulette:
             rr_on = bounce_ct >= settings.min_bounces
             p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
@@ -194,11 +302,30 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         beta_next = beta * jnp.where(sample_ok[:, None], ratio_lanes / p_cont[:, None], 0.0)
         hit_depth_cap = (bounce_ct + 1) >= settings.max_bounces
         direct_stop = settings.only_direct & (bounce_ct >= 1)
-        continue_path = (at_surface & sample_ok & survive & ~hit_depth_cap
+        continue_path = ((at_surface | scattered) & sample_ok & survive
+                         & ~hit_depth_cap
                          & ~direct_stop & jnp.all(jnp.isfinite(beta_next), -1))
-        d_new = vecmath.normalize(frame.to_world(wo_local))
-        o_new = hr.point + hr.geo_normal * (
-            NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new)))[..., None]
+        if medium_aware:
+            o_new = jnp.where(
+                scattered[..., None],
+                point,
+                hr.point + hr.geo_normal * (
+                    NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new))
+                )[..., None],
+            )
+            # medium boundary transitions (utils.rs:940-1005 via pt.py)
+            crossed = at_surface & (wo_local[..., 2] * wi_local[..., 2] < 0.0)
+            entering = wo_local[..., 2] < 0.0
+            inner = world.mats.inner_medium[mat_id]
+            outer = world.mats.outer_medium[mat_id]
+            do_tr = crossed & (inner != outer)
+            rm_id = jnp.where(entering, outer, inner)
+            add_id = jnp.where(entering, inner, outer)
+            med_stack = _stack_remove(med_stack, rm_id, do_tr)
+            med_stack = _stack_push(med_stack, add_id, do_tr)
+        else:
+            o_new = hr.point + hr.geo_normal * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(hr.geo_normal, d_new)))[..., None]
         counters = counters.at[prof.BOUNCE_RAYS].add(
             jnp.sum(continue_path.astype(jnp.float32)))
 
@@ -223,9 +350,12 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         bounce_ct = jnp.where(continue_path, bounce_ct + 1,
                               jnp.where(has_work, 0, bounce_ct))
         prev_pdf = jnp.where(continue_path, f_pdf, jnp.where(has_work, 0.0, prev_pdf))
+        # respawned camera paths restart in vacuum (stack all-zero)
+        med_stack = jnp.where(has_work[:, None] & ~continue_path[:, None],
+                              0, med_stack)
         alive = continue_path | has_work
         return (rnd_i + 2, o, d, lam, beta, path_rad, acc, done, alive,
-                bounce_ct, prev_pdf, counters)
+                bounce_ct, prev_pdf, med_stack, counters)
 
     def cond(state):
         return jnp.any(state[8])
@@ -234,6 +364,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
     o0, d0, lam0, tau0 = spawn(rnd0)
     zero1 = o0[:, 0] * 0.0
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n)) + jnp.sum(zero1)
+    stack_k = 4  # pt.MEDIUM_STACK_K (always carried; zeros when unused)
     state0 = (
         jnp.int32(10), o0, d0, lam0,
         tau0[:, None] * jnp.ones((n, C)),
@@ -243,7 +374,8 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         tau0 >= 0.0,
         jnp.zeros((n,), jnp.int32),
         zero1,
+        jnp.zeros((n, stack_k), jnp.int32),
         counters0,
     )
     state = jax.lax.while_loop(cond, body, state0)
-    return state[6], state[11]
+    return state[6], state[12]

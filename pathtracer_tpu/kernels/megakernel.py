@@ -493,7 +493,8 @@ def _shade_kernel(consts, settings,
                 == _flatrow(pid_c)[None, :]).astype(jnp.float32)
     attr = jax.lax.dot_general(
         prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     point, normal, gn, mat_id_f, kind, area = _hit_attributes(attr, o, d, t_hit)
     mat_id = mat_id_f  # float ids compared against float loop constants
     at_surface = alive & hit & (kind != 2.0)
@@ -505,7 +506,8 @@ def _shade_kernel(consts, settings,
         soft = _soft_onehot(lam[ci], c["lam_lo"], c["lam_hi"])
         R.append(jax.lax.dot_general(
             spec, soft, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32))  # [C_pad, TILE]
+            preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST))  # [C_pad, TILE]
 
     env_row = 5 * n_mats
 

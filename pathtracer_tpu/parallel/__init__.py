@@ -1,5 +1,6 @@
 from pathtracer_tpu.parallel.mesh import (
     make_render_mesh,
+    render_bdpt_sharded,
     render_chunk_sharded,
     render_regen_sharded,
     render_sampled_sharded,
@@ -8,6 +9,7 @@ from pathtracer_tpu.parallel.mesh import (
 
 __all__ = [
     "make_render_mesh",
+    "render_bdpt_sharded",
     "render_chunk_sharded",
     "render_regen_sharded",
     "render_sampled_sharded",

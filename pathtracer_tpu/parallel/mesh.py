@@ -178,6 +178,70 @@ def render_splatted_sharded(world, camera, settings, width: int, height: int,
     return jnp.reshape(film, (height, width, 3)), profile, elapsed
 
 
+def render_bdpt_sharded(world, camera, settings, width: int, height: int,
+                        min_samples: int, mesh: Mesh, key=None, progress=None):
+    """Multi-device BDPT: EYE PIXELS are sharded over the mesh (each device
+    builds eye+light subpaths and runs the (s,t) connection matrix for its
+    own film rows — connections are device-local), own-pixel contributions
+    stay sharded, and the t=1 lens-splat films + Profile counters are
+    `psum`-reduced over ICI (splats can land anywhere on the film). Fills
+    SURVEY §2.14's scale-out row for the BDPT integrator (VERDICT r2 #6).
+
+    Returns (film [H,W,3], Profile, elapsed)."""
+    from pathtracer_tpu.core import cie
+    from pathtracer_tpu.integrator.bdpt import bdpt_trace
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = width * height
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0, f"film pixels {n} must divide over {n_dev} devices"
+    span = settings.wavelength_bounds.span
+
+    def local(pix_ids, world, camera, key):
+        me = jax.lax.axis_index(TILE_AXIS)
+        kd = sampling.fold(key, me)
+        xy = jnp.stack([(pix_ids % width).astype(jnp.float32),
+                        (pix_ids // width).astype(jnp.float32)], axis=-1)
+        jitter = jax.random.uniform(sampling.fold(kd, 11), (pix_ids.shape[0], 2))
+        film_uv = (xy + jitter) / jnp.array([width, height], jnp.float32)
+        own, splat_uv, splat_e, lam, lam_splat, counters = bdpt_trace(
+            world, camera, settings, film_uv, sampling.fold(kd, 13))
+        film = cie.wavelength_to_xyz(lam, own) * span
+        px = jnp.clip((splat_uv[:, 0] * width).astype(jnp.int32), 0, width - 1)
+        py = jnp.clip((splat_uv[:, 1] * height).astype(jnp.int32), 0, height - 1)
+        pid = py * width + px
+        splat_xyz = cie.wavelength_to_xyz(lam_splat, splat_e) * span
+        splat_film = jnp.zeros((n, 3)).at[pid].add(splat_xyz)
+        return (film, jax.lax.psum(splat_film, TILE_AXIS),
+                jax.lax.psum(counters, TILE_AXIS))
+
+    fn = jax.jit(_shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(), P()),
+    ))
+    pix = jax.device_put(jnp.arange(n, dtype=jnp.int32),
+                         NamedSharding(mesh, P(TILE_AXIS)))
+    film = jnp.zeros((n, 3))
+    splats = jnp.zeros((n, 3))
+    total = prof.zeros()
+    t0 = time.perf_counter()
+    for c in range(min_samples):
+        f, sp, counters = fn(pix, world, camera, sampling.fold(key, 5000 + c))
+        film = film + f
+        splats = splats + sp
+        total = total + counters
+        if progress is not None:
+            progress(c + 1, min_samples)
+    # normalisation identical to renderer/bdpt_renderer.render_bdpt
+    out = film / min_samples + splats * (1.0 / min_samples)
+    profile = Profile().add_device_counts(total)
+    elapsed = time.perf_counter() - t0
+    return jnp.reshape(out, (height, width, 3)), profile, elapsed
+
+
 def render_sampled_sharded(world, camera, settings: PTSettings, width: int,
                            height: int, min_samples: int, mesh: Mesh,
                            key=None, sample_chunk: int = 8, progress=None):

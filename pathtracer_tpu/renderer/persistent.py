@@ -57,11 +57,50 @@ def _regen_pass(world, camera, key, settings: PTSettings, width: int,
 
 
 def render_regen(world, camera, settings: PTSettings, width: int, height: int,
-                 min_samples: int, key=None, pixel_batch: int | None = None):
+                 min_samples: int, key=None, pixel_batch: int | None = None,
+                 use_megakernel: bool | None = None):
     """Fixed-pixel sample-regeneration renderer (integrator/pt_regen.py):
-    high occupancy with no scatters. Returns (film [H,W,3], Profile, elapsed)."""
+    high occupancy with no scatters. Returns (film [H,W,3], Profile, elapsed).
+
+    When the scene/settings fit the Pallas megakernel's gate
+    (kernels/megakernel.mega_available) the per-bounce body runs as
+    Mosaic-compiled kernels instead of the XLA program (same estimator,
+    ~10x the throughput on TPU); set use_megakernel=False or
+    PT_NO_MEGAKERNEL=1 to force the XLA path."""
+    import os
+
     if key is None:
         key = jax.random.PRNGKey(0)
+    if use_megakernel is None:
+        use_megakernel = not os.environ.get("PT_NO_MEGAKERNEL")
+    # Mosaic kernels only compile for real TPU backends; CPU runs (tests,
+    # cpu-only boxes) use the XLA path
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        use_megakernel = False
+    if use_megakernel:
+        from pathtracer_tpu.kernels.megakernel import (
+            mega_available,
+            pt_trace_regen_mega,
+        )
+
+        if mega_available(world, camera, settings):
+            t0 = time.perf_counter()
+            n_pix = width * height
+            batch_n = pixel_batch or n_pix
+            films, counters_total = [], None
+            from pathtracer_tpu.core import sampling as _sampling
+
+            for b in range(n_pix // batch_n):
+                acc, c = pt_trace_regen_mega(
+                    world, camera, settings, width, height, min_samples,
+                    _sampling.fold(key, 77 + b), start=b * batch_n,
+                    batch_n=batch_n)
+                films.append(acc / float(min_samples))
+                counters_total = c if counters_total is None else counters_total + c
+            film = jnp.concatenate(films, axis=0)
+            profile = Profile().add_device_counts(counters_total)
+            elapsed = time.perf_counter() - t0
+            return jnp.reshape(film, (height, width, 3)), profile, elapsed
     n_pix = width * height
     batch_n = pixel_batch or n_pix
     assert n_pix % batch_n == 0

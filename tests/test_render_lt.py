@@ -178,3 +178,30 @@ def test_lt_direct_lens_hits_with_proxy():
     lt_y = float(np.asarray(lt_film[..., 1]).mean())
     assert lt_y > 0
     assert abs(lt_y - pt_y) / pt_y < 0.15, (pt_y, lt_y)
+
+
+@pytest.mark.slow
+def test_lt_stratified_variance(box_scene):
+    """StratifiedSampler(20,20,10) port (reference src/renderer/naive.rs:276):
+    stratifying the emitter-surface uv + λ reduces splat-film variance
+    across seeds at equal path counts, and leaves the mean unbiased."""
+    world, camera = box_scene
+    w = h = 32
+    means = {True: [], False: []}
+    films = {True: [], False: []}
+    for strat in (False, True):
+        s = LTSettings(max_bounces=4, stratified=strat)
+        for seed in range(6):
+            film, _, _ = render_splatted(world, camera, s, w, h, 2,
+                                         key=jax.random.PRNGKey(100 + seed))
+            f = np.asarray(film)
+            means[strat].append(f.mean())
+            films[strat].append(f[..., 1])
+    m_on = np.mean(means[True])
+    m_off = np.mean(means[False])
+    assert m_on == pytest.approx(m_off, rel=0.1)  # unbiased
+    # variance of the per-seed film estimates (mean over pixels of per-pixel
+    # variance across seeds)
+    v_on = np.stack(films[True]).var(axis=0).mean()
+    v_off = np.stack(films[False]).var(axis=0).mean()
+    assert v_on < v_off, (v_on, v_off)

@@ -119,3 +119,42 @@ def test_nested_media_stack_transmittance():
     # B after exiting A -> exp(-σA·0.8 − σB·1.2)
     wrong = np.exp(-sa_a * 0.8 - sa_b * 1.2)
     assert abs(est - wrong) / wrong > 0.2
+
+
+def test_regen_medium_equivalence():
+    """Medium-aware regen (pt_regen with the tracked-medium machinery,
+    VERDICT r2 #7) matches the wavefront medium path on the absorbing-sphere
+    scene: camera render means agree within MC noise."""
+    from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
+    from pathtracer_tpu.integrator.pt import trace_camera_sample
+    from pathtracer_tpu.core import sampling
+    from pathtracer_tpu.camera import make_projective_camera
+
+    world = _medium_sphere_world(sigma_s=1.0, sigma_a=0.3, g=0.0)
+    cam = make_projective_camera(
+        look_from=[-4.0, 0.0, 0.0], look_at=[0.0, 0.0, 0.0], vfov_degrees=30.0,
+        focal_distance=4.0, aperture_diameter=0.0, aspect_ratio=1.0)
+    w = h = 24
+    spp = 16
+    s = PTSettings(max_bounces=16, min_bounces=2, light_samples=1,
+                   russian_roulette=True, medium_aware=True)
+    acc, counters = pt_trace_regen(world, cam, s, w, h, spp,
+                                   jax.random.PRNGKey(2))
+    film_regen = np.asarray(acc) / spp
+    assert np.isfinite(film_regen).all()
+
+    n = w * h
+    ids = jnp.arange(n)
+    xy = jnp.stack([(ids % w).astype(jnp.float32),
+                    (ids // w).astype(jnp.float32)], axis=-1)
+    film_wf = np.zeros((n, 3))
+    for i in range(spp):
+        k = sampling.fold(jax.random.PRNGKey(3), i)
+        jitter = jax.random.uniform(k, (n, 2))
+        film_uv = (xy + jitter) / jnp.array([w, h], jnp.float32)
+        xyz, _ = trace_camera_sample(world, cam, s, film_uv, sampling.fold(k, 7))
+        film_wf += np.asarray(xyz)
+    film_wf /= spp
+    # Y-channel means agree within MC noise at this spp
+    assert film_regen[:, 1].mean() == pytest.approx(
+        film_wf[:, 1].mean(), rel=0.08)

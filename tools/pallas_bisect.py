@@ -241,6 +241,53 @@ def stage_smem_scalars():
     return "ok"
 
 
+def stage_soft_onehot():
+    # the megakernel's spectral-eval construct at its exact shapes:
+    # [32, 512] table  x  soft one-hot [512, 2048] built from per-lane bins
+    def k(lam_ref, tab_ref, o_ref):
+        lam = lam_ref[0, :]                      # [2048]
+        u = jnp.clip(lam, 0.0, 511.0 - 1e-4)
+        i0 = jnp.floor(u)
+        frac = u - i0
+        knots = jax.lax.broadcasted_iota(jnp.int32, (512, 2048), 0).astype(jnp.float32)
+        soft = jnp.where(knots == i0[None, :], 1.0 - frac[None, :],
+                         jnp.where(knots == i0[None, :] + 1.0, frac[None, :], 0.0))
+        r = jax.lax.dot_general(tab_ref[:, :], soft, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        o_ref[:] = r
+    lam = jnp.tile(jnp.linspace(0.0, 500.0, 2048)[None, :], (8, 1)).astype(jnp.float32)
+    tab = jnp.tile(jnp.arange(512, dtype=jnp.float32)[None, :], (32, 1))
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((32, 2048), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(lam, tab)
+    v = np.asarray(out)
+    expect = np.tile(np.clip(np.linspace(0.0, 500.0, 2048), 0, 511 - 1e-4)[None, :], (32, 1)).astype(np.float32)
+    np.testing.assert_allclose(v, expect, rtol=1e-5, atol=1e-3)
+    return "ok"
+
+
+def stage_mxu_onehot_fetch():
+    # the megakernel's prim-attr fetch: [24, 128] @ onehot[128, 2048]
+    def k(pid_ref, tab_ref, o_ref):
+        pid = pid_ref[0, :]
+        oh = (jax.lax.broadcasted_iota(jnp.int32, (128, 2048), 0).astype(jnp.float32)
+              == pid[None, :]).astype(jnp.float32)
+        o_ref[:] = jax.lax.dot_general(tab_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    pid = jnp.tile(jnp.arange(128, dtype=jnp.float32)[None, ::1], (8, 16))[:, :2048]
+    tab = jnp.arange(24 * 128, dtype=jnp.float32).reshape(24, 128)
+    out = pl.pallas_call(
+        k, out_shape=jax.ShapeDtypeStruct((24, 2048), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )(pid, tab)
+    return "ok"
+
+
 STAGES = {n[6:]: f for n, f in list(globals().items()) if n.startswith("stage_")}
 
 if __name__ == "__main__":

@@ -1,0 +1,150 @@
+"""On-TPU regression smoke (VERDICT r2 #5): runs on a real chip, asserts
+golden-film agreement + finite outputs across the accelerator paths.
+
+Checks (each isolated so one failure doesn't blank the rest):
+  1. cornell 128x128 regen render: relative RMSE vs data/golden/cornell_128.exr
+  2. gem scene mini render: finite film, nonzero
+  3. instanced arrangement mini render: finite film (two-level path)
+  4. BDPT + LT mini passes: finite films
+
+Run: python tools/tpu_smoke.py  (skips cleanly when only CPU is present:
+these are device-regression checks, not CPU tests). bench.py runs this
+first so perf numbers are never reported for a silently-broken build.
+"""
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEARCH = ["/root/repo", "/root/reference"]
+CACHE = "/tmp/pt_cache"
+
+
+def _world(path, **kw):
+    from pathtracer_tpu.parsing.construct import construct_world
+
+    return construct_world(path, search_paths=SEARCH, cache_dir=CACHE, **kw)
+
+
+def check_cornell_golden(results):
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.renderer.persistent import render_regen
+    from pathtracer_tpu.tonemap.io_exr import read_exr
+
+    b = _world("data/scenes/cornell_box.toml")
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=12, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    film, prof, el = render_regen(b.world, cam, settings, 128, 128, 128,
+                                  key=jax.random.PRNGKey(42))
+    film = np.asarray(film)
+    assert np.isfinite(film).all(), "cornell film has non-finite pixels"
+    golden = np.asarray(read_exr("data/golden/cornell_128.exr")[0])
+    # golden is RGB(linear Rec709); our film is XYZ — compare via the same
+    # conversion the golden was written with
+    from pathtracer_tpu.core.cie import XYZ_TO_REC709
+    rgb = film @ np.asarray(XYZ_TO_REC709).T
+    rmse = float(np.sqrt(np.mean((rgb - golden) ** 2)) /
+                 max(np.sqrt(np.mean(golden ** 2)), 1e-9))
+    results["cornell_golden_rel_rmse"] = round(rmse, 4)
+    assert rmse < 0.03, f"cornell golden RMSE {rmse:.4f} >= 3%"
+    results["cornell_mrays"] = round(prof.total_rays / el / 1e6, 2)
+
+
+def check_gem(results):
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.renderer.persistent import render_regen
+
+    b = _world("/root/reference/data/scenes/cornell_box_diamond_gem.toml")
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=12, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    film, prof, el = render_regen(b.world, cam, settings, 128, 128, 16,
+                                  key=jax.random.PRNGKey(7))
+    film = np.asarray(film)
+    assert np.isfinite(film).all(), "gem film non-finite"
+    assert film.mean() > 0, "gem film black"
+    results["gem_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
+
+
+def check_arrangement(results):
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.renderer.persistent import render_regen
+
+    b = _world("data/scenes/diamond_arrangement_instanced.toml")
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=8, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    film, prof, el = render_regen(b.world, cam, settings, 128, 128, 4,
+                                  key=jax.random.PRNGKey(9))
+    film = np.asarray(film)
+    assert np.isfinite(film).all(), "arrangement film non-finite"
+    assert film.mean() > 0, "arrangement film black"
+    results["arrangement_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
+
+
+def check_bdpt_lt(results):
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.bdpt import BDPTSettings
+    from pathtracer_tpu.integrator.lt import LTSettings
+    from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
+    from pathtracer_tpu.renderer.splatted import render_splatted
+
+    b = _world("data/scenes/cornell_box.toml", camera_surfaces=True)
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    film, prof, _ = render_bdpt(b.world, cam, BDPTSettings(max_depth=4),
+                                128, 128, 1, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(film)).all(), "bdpt film non-finite"
+    results["bdpt_smoke"] = "ok"
+    film, prof, _ = render_splatted(b.world, cam, LTSettings(max_bounces=4),
+                                    128, 128, 2, key=jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(film)).all(), "lt film non-finite"
+    results["lt_smoke"] = "ok"
+
+
+def main():
+    import jax
+
+    dev = jax.devices()[0]
+    results = {"device": str(dev)}
+    if dev.platform == "cpu":
+        print({"skipped": "no TPU present", **results})
+        return 0
+    failures = []
+    for name, fn in [("cornell_golden", check_cornell_golden),
+                     ("gem", check_gem),
+                     ("arrangement", check_arrangement),
+                     ("bdpt_lt", check_bdpt_lt)]:
+        t0 = time.perf_counter()
+        try:
+            fn(results)
+            results[name] = "pass"
+        except Exception as e:
+            traceback.print_exc()
+            results[name] = f"FAIL: {e}"
+            failures.append(name)
+        results[name + "_s"] = round(time.perf_counter() - t0, 1)
+    print(results)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
