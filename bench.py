@@ -1,70 +1,170 @@
-"""Benchmark: PT throughput on the real chip across the three accelerator
-paths — dense sweep (Cornell), single-level BVH (diamond gem), two-level
-TLAS/BLAS (instanced diamond arrangement).
+"""Benchmark: PT throughput on the real chip across every BASELINE config —
+Cornell 1080p (primary, round-over-round comparable), Cornell 512²@64spp,
+white furnace, HDRI env (synthetic blob stand-in — the reference checkout
+ships no .hdr assets), diamond gem 1080p, instanced arrangement (two-level),
+BDPT + LT Cornell 512².
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference renderer's 23.9 Mrays/sec on a 20-thread CPU
-(reference data/config.toml:7-9; see BASELINE.md). The primary metric stays
-the 1080p Cornell PT number for round-over-round comparability; the BVH and
-two-level numbers ride along as extra keys.
+(reference data/config.toml:7-9; see BASELINE.md).
+
+Per-config isolation (VERDICT r2 #9): each config runs in its OWN
+subprocess with a timeout, so a TPU worker crash in one config cannot blank
+the others; every completed config's numbers survive. The on-TPU smoke
+regression (tools/tpu_smoke.py) runs first so perf numbers are never
+reported for a silently-broken build.
+
+Timing is HONEST: wall clock spans dispatch -> a forced host fetch of the
+ray counters (np.asarray). `block_until_ready` does NOT await remote
+execution on the axon tunnel (the round-1 363 Mrays/s artifact; PARITY.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
-import traceback
 
 BASELINE_MRAYS = 23.9
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def _bench_scene(scene_path, spp, width=1080, height=1080, pixel_batch=None,
-                 light_samples=2):
-    """HONEST timing: the wall clock spans dispatch -> a forced host fetch
-    of the ray counters (np.asarray). `block_until_ready` does NOT await
-    remote execution on the axon tunnel — timing on it reports dispatch
-    latency and once inflated this bench ~200x (the round-1 363 Mrays/s
-    figure was that artifact; see PARITY.md)."""
+# ----------------------------------------------------------- single configs
+
+
+def _setup():
+    import numpy as np  # noqa: F401
+    import jax  # noqa: F401
+
+
+def _render_pt(scene, spp, width, height, light_samples=2, pixel_batch=None,
+               max_bounces=12, settings_extra=None):
     import numpy as np
     import jax
 
     from pathtracer_tpu.integrator.pt import PTSettings
     from pathtracer_tpu.parsing.cameras import build_camera
     from pathtracer_tpu.parsing.construct import construct_world
-    from pathtracer_tpu.renderer.persistent import _regen_pass
+    from pathtracer_tpu.renderer.persistent import render_regen
 
     bundle = construct_world(
-        scene_path,
-        search_paths=["/root/repo", "/root/reference"],
-        cache_dir="/tmp/pt_cache",
-    )
-    # config_test_cornell_box.toml settings: PT, light_samples=2, bounces 1..12
-    settings = PTSettings(
-        max_bounces=12, min_bounces=1, light_samples=light_samples,
-        russian_roulette=True, only_direct=False,
-    )
-    camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
-
-    def one_pass(key):
-        n_pix = width * height
-        batch = pixel_batch or n_pix
-        total = None
-        for bidx in range(n_pix // batch):
-            film, counters = _regen_pass(
-                bundle.world, camera, jax.random.fold_in(key, bidx), settings,
-                width, height, spp, start=bidx * batch, batch_n=batch,
-            )
-            total = counters if total is None else total + counters
-        return film, np.asarray(total)
-
-    # warm-up/compile (fetch forces completion)
-    film, _ = one_pass(jax.random.PRNGKey(0))
-    # timed
+        scene, search_paths=[REPO, "/root/reference"], cache_dir="/tmp/pt_cache")
+    kw = dict(max_bounces=max_bounces, min_bounces=1,
+              light_samples=light_samples, russian_roulette=True,
+              only_direct=False)
+    kw.update(settings_extra or {})
+    settings = PTSettings(**kw)
+    camera = build_camera(bundle.camera_by_id("main"),
+                          aspect_ratio=width / height)
+    # warm-up/compile
+    film, prof, _ = render_regen(bundle.world, camera, settings, width, height,
+                                 spp, key=jax.random.PRNGKey(0),
+                                 pixel_batch=pixel_batch)
+    # timed (render_regen's Profile fetch forces completion)
     t0 = time.perf_counter()
-    film, c = one_pass(jax.random.PRNGKey(1))
+    film, prof, _ = render_regen(bundle.world, camera, settings, width, height,
+                                 spp, key=jax.random.PRNGKey(1),
+                                 pixel_batch=pixel_batch)
     el = time.perf_counter() - t0
     assert np.isfinite(np.asarray(film)).all()
-    return float(c.sum()) / el / 1e6, spp / el
+    return prof.total_rays / el / 1e6, spp / el
+
+
+def config_cornell_1080(out):
+    mrays, spp_s = _render_pt("data/scenes/cornell_box.toml", 12, 1080, 1080)
+    out["value"] = round(mrays, 2)
+    out["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
+    out["spp_per_sec_1080p"] = round(spp_s, 3)
+
+
+def config_cornell_512(out):
+    # BASELINE config: data/config_test_cornell_box.toml (512² @ 64 spp)
+    mrays, spp_s = _render_pt("data/scenes/cornell_box.toml", 64, 512, 512)
+    out["cornell_512_64spp_mrays"] = round(mrays, 2)
+    out["cornell_512_spp_per_sec"] = round(spp_s, 3)
+
+
+def config_furnace(out):
+    # BASELINE config: white furnace (energy conservation scene)
+    mrays, spp_s = _render_pt(
+        "/root/reference/data/scenes/white_furnace.toml", 32, 512, 512,
+        light_samples=0, settings_extra=dict(min_bounces=2))
+    out["furnace_512_mrays"] = round(mrays, 2)
+
+
+def config_hdri(out):
+    # BASELINE config: HDRI env lighting (synthetic blob stand-in)
+    mrays, spp_s = _render_pt("data/scenes/hdri_blob_test.toml", 16, 512, 512)
+    out["hdri_512_mrays"] = round(mrays, 2)
+
+
+def config_gem(out):
+    mrays, spp_s = _render_pt(
+        "/root/reference/data/scenes/cornell_box_diamond_gem.toml", 8,
+        1080, 1080, pixel_batch=1080 * 540)
+    out["gem_1080p_mrays"] = round(mrays, 2)
+    out["gem_spp_per_sec"] = round(spp_s, 3)
+
+
+def config_arrangement(out):
+    mrays, spp_s = _render_pt(
+        "data/scenes/diamond_arrangement_instanced.toml", 2, 1080, 1080,
+        pixel_batch=1080 * 540, max_bounces=8)
+    out["arrangement_1080p_mrays_two_level"] = round(mrays, 2)
+
+
+def config_bdpt_lt(out):
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.integrator.bdpt import BDPTSettings
+    from pathtracer_tpu.integrator.lt import LTSettings
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.parsing.construct import construct_world
+    from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
+    from pathtracer_tpu.renderer.splatted import render_splatted
+
+    bundle = construct_world(
+        "data/scenes/cornell_box.toml",
+        search_paths=[REPO, "/root/reference"],
+        cache_dir="/tmp/pt_cache", camera_surfaces=True)
+    camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
+    bd = BDPTSettings(max_depth=6)
+    render_bdpt(bundle.world, camera, bd, 512, 512, 1, key=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    film, prof, _ = render_bdpt(bundle.world, camera, bd, 512, 512, 2,
+                                key=jax.random.PRNGKey(1))
+    np.asarray(film)
+    out["bdpt_cornell_512_mrays"] = round(
+        prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
+    lt = LTSettings(max_bounces=8, stratified=True)
+    render_splatted(bundle.world, camera, lt, 512, 512, 1, key=jax.random.PRNGKey(0))
+    t0 = time.perf_counter()
+    film, prof, _ = render_splatted(bundle.world, camera, lt, 512, 512, 4,
+                                    key=jax.random.PRNGKey(1))
+    np.asarray(film)
+    out["lt_cornell_512_mrays"] = round(
+        prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
+
+
+CONFIGS = {
+    "cornell_1080": (config_cornell_1080, 1800),
+    "cornell_512": (config_cornell_512, 1200),
+    "furnace": (config_furnace, 1200),
+    "hdri": (config_hdri, 1200),
+    "gem": (config_gem, 2400),
+    "arrangement": (config_arrangement, 2400),
+    "bdpt_lt": (config_bdpt_lt, 1800),
+}
+
+
+def run_one(name):
+    os.chdir(REPO)
+    out = {}
+    CONFIGS[name][0](out)
+    print("BENCH_RESULT " + json.dumps(out))
 
 
 def main():
@@ -77,87 +177,34 @@ def main():
         "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
+    # on-TPU regression smoke first: no perf numbers for a broken build
+    smoke = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
+        capture_output=True, text=True, timeout=3600, cwd=REPO)
+    result["smoke_ok"] = smoke.returncode == 0
+    if smoke.returncode != 0:
+        result["smoke_tail"] = (smoke.stdout + smoke.stderr)[-600:]
 
-    def retry(fn, tries=2):
-        # the axon tunnel throws transient UNAVAILABLE device errors;
-        # one retry after a cool-down recovers most of them
-        for i in range(tries):
-            try:
-                return fn()
-            except Exception:
-                traceback.print_exc()
-                if i + 1 < tries:
-                    time.sleep(60)
-        return None
-
-    r = retry(lambda: _bench_scene("data/scenes/cornell_box.toml", spp=12))
-    if r is not None:
-        mrays, spp_s = r
-        result["value"] = round(mrays, 2)
-        result["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
-        result["spp_per_sec_1080p"] = round(spp_s, 3)
-    # mesh-heavy path (302-triangle gem; dense sweep after the 1024 cutoff).
-    # pixel_batch: full-film 1.17M-lane programs for this scene crash the
-    # tunnel's TPU worker (kernel fault); 583k-lane batches run fine
-    r = retry(lambda: _bench_scene(
-        "/root/reference/data/scenes/cornell_box_diamond_gem.toml", spp=8,
-        pixel_batch=1080 * 540))
-    if r is not None:
-        result["gem_1080p_mrays"] = round(r[0], 2)
-        result["gem_spp_per_sec"] = round(r[1], 3)
-    # two-level TLAS/BLAS path (24 shared-BLAS diamond instances)
-    r = retry(lambda: _bench_scene(
-        "data/scenes/diamond_arrangement_instanced.toml", spp=2,
-        pixel_batch=1080 * 540))
-    if r is not None:
-        result["arrangement_1080p_mrays_two_level"] = round(r[0], 2)
-        result["arrangement_spp_per_sec"] = round(r[1], 3)
-    # BDPT + LT on the Cornell box at 512² (BASELINE configs)
-    r = retry(_bench_bdpt_lt, tries=1)
-    if r is not None:
-        result.update(r)
+    for name in CONFIGS:
+        timeout_s = CONFIGS[name][1]
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, timeout=timeout_s, cwd=REPO)
+            found = [l for l in r.stdout.splitlines()
+                     if l.startswith("BENCH_RESULT ")]
+            if found:
+                result.update(json.loads(found[-1][len("BENCH_RESULT "):]))
+            else:
+                result[name + "_error"] = (r.stdout + r.stderr)[-400:]
+        except subprocess.TimeoutExpired:
+            result[name + "_error"] = f"timeout after {timeout_s}s"
+        time.sleep(5)
     print(json.dumps(result))
 
 
-def _bench_bdpt_lt(width=512, height=512):
-    import jax
-
-    from pathtracer_tpu.integrator.bdpt import BDPTSettings
-    from pathtracer_tpu.integrator.lt import LTSettings
-    from pathtracer_tpu.parsing.cameras import build_camera
-    from pathtracer_tpu.parsing.construct import construct_world
-    from pathtracer_tpu.renderer.bdpt_renderer import render_bdpt
-    from pathtracer_tpu.renderer.splatted import render_splatted
-
-    bundle = construct_world(
-        "data/scenes/cornell_box.toml",
-        search_paths=["/root/repo", "/root/reference"],
-        cache_dir="/tmp/pt_cache", camera_surfaces=True,
-    )
-    import numpy as np
-
-    camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=width / height)
-    out = {}
-    # warm-up + honest wall timing (Profile fetch inside render_* forces
-    # completion; renderer-internal elapsed is not trusted on the tunnel)
-    bd = BDPTSettings(max_depth=6)
-    render_bdpt(bundle.world, camera, bd, width, height, 1, key=jax.random.PRNGKey(0))
-    t0 = time.perf_counter()
-    film, prof, _ = render_bdpt(bundle.world, camera, bd, width, height, 2,
-                                key=jax.random.PRNGKey(1))
-    np.asarray(film)
-    el = time.perf_counter() - t0
-    out["bdpt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
-    lt = LTSettings(max_bounces=8)
-    render_splatted(bundle.world, camera, lt, width, height, 1, key=jax.random.PRNGKey(0))
-    t0 = time.perf_counter()
-    film, prof, _ = render_splatted(bundle.world, camera, lt, width, height, 4,
-                                    key=jax.random.PRNGKey(1))
-    np.asarray(film)
-    el = time.perf_counter() - t0
-    out["lt_cornell_512_mrays"] = round(prof.total_rays / el / 1e6, 2)
-    return out
-
-
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        run_one(sys.argv[2])
+    else:
+        main()

@@ -51,7 +51,11 @@ _N_COLS = 128
 
 
 def pack_prims(prims: Primitives) -> jnp.ndarray:
-    """[P_pad, 128] f32 transposed primitive table (P_pad multiple of PB)."""
+    """[P_pad, 128] f32 transposed primitive table (P_pad multiple of PB).
+
+    Built with jnp ops so it can run INSIDE a jitted render (traced once);
+    for host-side eager baking use pack_prims_np — on the axon tunnel every
+    eager op is its own 20-40s remote compile."""
     p = prims.count
     p_pad = -(-p // PB) * PB
     tab = jnp.zeros((p_pad, _N_COLS), jnp.float32)
@@ -60,6 +64,21 @@ def pack_prims(prims: Primitives) -> jnp.ndarray:
     tab = tab.at[:p, _C_PA:_C_PA + 3].set(prims.pa)
     tab = tab.at[:p, _C_PB:_C_PB + 3].set(prims.pb)
     tab = tab.at[:p, _C_PC:_C_PC + 3].set(prims.pc)
+    return tab
+
+
+def pack_prims_np(ptype, valid, pa, pb, pc):
+    """Host NumPy variant of pack_prims (fields pre-fetched as arrays)."""
+    import numpy as np
+
+    p = len(ptype)
+    p_pad = -(-p // PB) * PB
+    tab = np.zeros((p_pad, _N_COLS), np.float32)
+    tab[:p, _C_PTYPE] = ptype
+    tab[:p, _C_VALID] = valid
+    tab[:p, _C_PA:_C_PA + 3] = pa
+    tab[:p, _C_PB:_C_PB + 3] = pb
+    tab[:p, _C_PC:_C_PC + 3] = pc
     return tab
 
 

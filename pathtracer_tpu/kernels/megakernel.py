@@ -48,7 +48,7 @@ from pathtracer_tpu.kernels.dense import (
     RAY_TILE,
     _sweep_any,
     _sweep_closest,
-    pack_prims,
+    pack_prims_np,
 )
 from pathtracer_tpu.geometry.soa import (
     PRIM_DISK,
@@ -168,35 +168,45 @@ def mega_available(world, camera, settings) -> bool:
 
 
 def build_mega_scene(world, camera, settings) -> MegaScene:
-    """Host-side table bake (concrete device arrays -> numpy -> packed)."""
+    """Host-side table bake. EVERY device array is fetched exactly once
+    (np.asarray) and all packing happens in NumPy — on the axon tunnel each
+    eager jnp op is its own 20-40 s remote compile, which made the first
+    version of this bake look like a Mosaic hang."""
     w = world
     prims = w.prims
     p = prims.count
     p_pad = -(-p // 128) * 128
+    h = {name: np.asarray(getattr(prims, name))
+         for name in ("ptype", "valid", "pa", "pb", "pc", "na", "nb", "nc",
+                      "material_id", "mat_kind", "area")}
     tab = np.zeros((_NP_ROWS, p_pad), np.float32)
-    tab[0, :p] = np.asarray(prims.ptype)
-    tab[1, :p] = np.asarray(prims.valid)
+    tab[0, :p] = h["ptype"]
+    tab[1, :p] = h["valid"]
     for i in range(3):
-        tab[2 + i, :p] = np.asarray(prims.pa[:, i])
-        tab[5 + i, :p] = np.asarray(prims.pb[:, i])
-        tab[8 + i, :p] = np.asarray(prims.pc[:, i])
-        tab[_R_NA + i, :p] = np.asarray(prims.na[:, i])
-        tab[_R_NB + i, :p] = np.asarray(prims.nb[:, i])
-        tab[_R_NC + i, :p] = np.asarray(prims.nc[:, i])
-    tab[_R_MAT, :p] = np.asarray(prims.material_id)
-    tab[_R_KIND, :p] = np.asarray(prims.mat_kind)
-    tab[_R_AREA, :p] = np.asarray(prims.area)
+        tab[2 + i, :p] = h["pa"][:, i]
+        tab[5 + i, :p] = h["pb"][:, i]
+        tab[8 + i, :p] = h["pc"][:, i]
+        tab[_R_NA + i, :p] = h["na"][:, i]
+        tab[_R_NB + i, :p] = h["nb"][:, i]
+        tab[_R_NC + i, :p] = h["nc"][:, i]
+    tab[_R_MAT, :p] = h["material_id"]
+    tab[_R_KIND, :p] = h["mat_kind"]
+    tab[_R_AREA, :p] = h["area"]
 
     mats = w.mats
     m = int(mats.count)
     m_pad = 128
+    hm = {name: np.asarray(getattr(mats, name))
+          for name in ("mtype", "alpha", "metallic", "permeability",
+                       "sidedness", "sharpness", "tex_id", "bounce_idx",
+                       "eta_idx", "eta_o_idx", "kappa_idx", "emit_idx")}
     mt = np.zeros((_NM_ROWS, m_pad), np.float32)
-    mt[_M_TYPE, :m] = np.asarray(mats.mtype)
-    mt[_M_ALPHA, :m] = np.asarray(mats.alpha)
-    mt[_M_METAL, :m] = np.asarray(mats.metallic).astype(np.float32)
-    mt[_M_PERM, :m] = np.asarray(mats.permeability)
-    mt[_M_SIDE, :m] = np.asarray(mats.sidedness)
-    mt[_M_SHARP, :m] = np.asarray(mats.sharpness)
+    mt[_M_TYPE, :m] = hm["mtype"]
+    mt[_M_ALPHA, :m] = hm["alpha"]
+    mt[_M_METAL, :m] = hm["metallic"].astype(np.float32)
+    mt[_M_PERM, :m] = hm["permeability"]
+    mt[_M_SIDE, :m] = hm["sidedness"]
+    mt[_M_SHARP, :m] = hm["sharpness"]
     # lambertian reflectance = tex layer weight x layer curve (1x1 textures);
     # light bounce colors use the bounce curve with weight 1
     tex = w.tex
@@ -204,8 +214,8 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     layer_start = np.asarray(tex.layer_start)
     atlas = np.asarray(tex.atlas)
     layer_offset = np.asarray(tex.layer_offset)
-    mtype = np.asarray(mats.mtype)
-    tex_id = np.maximum(np.asarray(mats.tex_id), 0)
+    mtype = hm["mtype"]
+    tex_id = np.maximum(hm["tex_id"], 0)
     refl_curve = np.zeros(m, np.int64)
     refl_scale = np.ones(m, np.float32)
     for i in range(m):
@@ -214,7 +224,7 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
             refl_curve[i] = int(layer_curve[li])
             refl_scale[i] = float(atlas[int(layer_offset[li])])
         else:
-            refl_curve[i] = int(np.asarray(mats.bounce_idx)[i])
+            refl_curve[i] = int(hm["bounce_idx"][i])
     mt[_M_RSCALE, :m] = refl_scale
 
     # spectral rows: per-material (eta_i, eta_o, kappa, refl, emit) + env
@@ -226,10 +236,10 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     def curve(idx):
         return bank_vals[int(max(idx, 0))]
 
-    eta_idx = np.asarray(mats.eta_idx)
-    eta_o_idx = np.asarray(mats.eta_o_idx)
-    kappa_idx = np.asarray(mats.kappa_idx)
-    emit_idx = np.asarray(mats.emit_idx)
+    eta_idx = hm["eta_idx"]
+    eta_o_idx = hm["eta_o_idx"]
+    kappa_idx = hm["kappa_idx"]
+    emit_idx = hm["emit_idx"]
     for i in range(m):
         st[5 * i + 0] = curve(eta_idx[i])
         st[5 * i + 1] = curve(eta_o_idx[i])
@@ -245,16 +255,16 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     for l in range(nl):
         pid = int(lights[l])
         for i in range(3):
-            lt[_L_PA + i, l] = np.asarray(prims.pa)[pid, i]
-            lt[_L_PB + i, l] = np.asarray(prims.pb)[pid, i]
-            lt[_L_PC + i, l] = np.asarray(prims.pc)[pid, i]
-        lt[_L_PTYPE, l] = float(np.asarray(prims.ptype)[pid])
-        lt[_L_AREA, l] = float(np.asarray(prims.area)[pid])
-        mid = int(np.asarray(prims.material_id)[pid])
+            lt[_L_PA + i, l] = h["pa"][pid, i]
+            lt[_L_PB + i, l] = h["pb"][pid, i]
+            lt[_L_PC + i, l] = h["pc"][pid, i]
+        lt[_L_PTYPE, l] = float(h["ptype"][pid])
+        lt[_L_AREA, l] = float(h["area"][pid])
+        mid = int(h["material_id"][pid])
         lt[_L_MAT, l] = mid
         lt[_L_MTYPE, l] = float(mtype[mid])
-        lt[_L_SIDE, l] = float(np.asarray(mats.sidedness)[mid])
-        lt[_L_SHARP, l] = float(np.asarray(mats.sharpness)[mid])
+        lt[_L_SIDE, l] = float(hm["sidedness"][mid])
+        lt[_L_SHARP, l] = float(hm["sharpness"][mid])
 
     rot_inv = np.asarray(w.env.rotation_inv, np.float32)
     rot_fwd = np.asarray(w.env.rotation, np.float32)
@@ -265,6 +275,10 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         n_mats=m,
         n_lights=nl,
         p_env=p_env,
+        # static per-scene specialization: archetypes absent from the
+        # material table compile out of the kernel entirely
+        has_ggx=bool((mtype == MAT_GGX).any()),
+        has_sharp=bool((mtype == MAT_SHARP_LIGHT).any()),
         env_rot=tuple(float(x) for x in rot_fwd.reshape(-1)),
         lam_lo=float(w.bank.lam_lo),
         lam_hi=float(w.bank.lam_hi),
@@ -280,9 +294,10 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         cam_blades=int(camera.blades),
         cam_sharp=float(camera.blade_sharpness),
     )
+    dense_tab = pack_prims_np(h["ptype"], h["valid"], h["pa"], h["pb"], h["pc"])
     return MegaScene(
         prim_tab=jnp.asarray(tab),
-        dense_tab=pack_prims(prims),
+        dense_tab=jnp.asarray(dense_tab),
         mat_tab=jnp.asarray(mt),
         light_tab=jnp.asarray(lt),
         spec_tab=jnp.asarray(st),
@@ -336,17 +351,22 @@ def _balance(a, b):
     return jnp.where(s > 0.0, a / jnp.where(s > 0.0, s, 1.0), 1.0)
 
 
-def _emission_value(spd, mtype, side, sharp, cos_theta):
-    """materials/diffuse_light.py + sharp_light.py (already elementwise)."""
+def _emission_value(spd, mtype, side, sharp, cos_theta, has_sharp=True):
+    """materials/diffuse_light.py + sharp_light.py (already elementwise);
+    has_sharp is a static scene property."""
     fwd = (cos_theta > 0.0).astype(jnp.float32)
     rev = (cos_theta < 0.0).astype(jnp.float32)
     dual = (cos_theta != 0.0).astype(jnp.float32)
     gate = jnp.where(side == 2, dual, jnp.where(side == 0, fwd, rev))
     e_diff = spd / jnp.pi * gate
-    n = sharp
-    e_sharp = spd * (n + 1.0) * jnp.abs(cos_theta) ** n / (2.0 * jnp.pi) * gate
+    if has_sharp:
+        n = sharp
+        e_sharp = spd * (n + 1.0) * jnp.abs(cos_theta) ** n / (2.0 * jnp.pi) * gate
+        e = jnp.where(mtype == MAT_SHARP_LIGHT, e_sharp, e_diff)
+    else:
+        e = e_diff
     is_light = (mtype == MAT_DIFFUSE_LIGHT) | (mtype == MAT_SHARP_LIGHT)
-    return jnp.where(is_light, jnp.where(mtype == MAT_SHARP_LIGHT, e_sharp, e_diff), 0.0)
+    return jnp.where(is_light, e, 0.0)
 
 
 def _cie_xyz(lam):
@@ -370,17 +390,22 @@ def _soft_onehot(lam, lam_lo, lam_hi):
 
 
 def _bsdf_eval_lane(mtype, alpha, metallic, perm, eta_i, eta_o, kappa, refl,
-                    wi, wo, mode):
-    """materials/tables.bsdf_eval for one λ lane, componentwise."""
+                    wi, wo, mode, has_ggx=True):
+    """materials/tables.bsdf_eval for one λ lane, componentwise. has_ggx is
+    a STATIC scene property — GGX-free scenes compile the whole microfacet
+    stack out of the kernel."""
     f_lam, pdf_lam = cmath.eval_lambertian(refl, wi, wo)
-    a = jnp.maximum(alpha, 1e-4)
-    ei = jnp.maximum(eta_i, 1e-3)
-    eo = jnp.maximum(eta_o, 1e-3)
-    f_ggx, pdf_ggx = cmath.eval_ggx(a, ei, eo, kappa, metallic > 0.5, perm,
-                                    wi, wo, mode)
-    is_ggx = mtype == MAT_GGX
-    f = jnp.where(is_ggx, f_ggx, f_lam)
-    pdf = jnp.where(is_ggx, pdf_ggx, pdf_lam)
+    if has_ggx:
+        a = jnp.maximum(alpha, 1e-4)
+        ei = jnp.maximum(eta_i, 1e-3)
+        eo = jnp.maximum(eta_o, 1e-3)
+        f_ggx, pdf_ggx = cmath.eval_ggx(a, ei, eo, kappa, metallic > 0.5, perm,
+                                        wi, wo, mode)
+        is_ggx = mtype == MAT_GGX
+        f = jnp.where(is_ggx, f_ggx, f_lam)
+        pdf = jnp.where(is_ggx, pdf_ggx, pdf_lam)
+    else:
+        f, pdf = f_lam, pdf_lam
     dead = mtype == 4  # passthrough
     return jnp.where(dead, 0.0, f), jnp.where(dead, 0.0, pdf)
 
@@ -548,7 +573,8 @@ def _shade_kernel(consts, settings,
         is_light_hit = at_surface & (kind == 1.0)
         for ci in range(C):
             spd = _sel_rows(R[ci], mat_id, 4, n_mats, stride=5)
-            le = _emission_value(spd, mtype, side, sharp, cos_at_light)
+            le = _emission_value(spd, mtype, side, sharp, cos_at_light,
+                                 has_sharp=c["has_sharp"])
             rad[ci] = rad[ci] + jnp.where(is_light_hit, beta[ci] * le * w_light, 0.0)
 
     # ---- shading frame
@@ -638,11 +664,13 @@ def _shade_kernel(consts, settings,
             for ci in range(C):
                 f_ci, pdf_ci = _bsdf_eval_lane(
                     mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-                    refl[ci], wi_local, wo_local, TransportMode.Radiance)
+                    refl[ci], wi_local, wo_local, TransportMode.Radiance,
+                    has_ggx=c["has_ggx"])
                 if ci == 0:
                     pdf_s0 = pdf_ci
                 spd_l = _sel_rows(R[ci], l_mat, 4, n_mats, stride=5)
-                le_inst = _emission_value(spd_l, l_mtype, l_side, l_sharp, cos_l)
+                le_inst = _emission_value(spd_l, l_mtype, l_side, l_sharp,
+                                          cos_l, has_sharp=c["has_sharp"])
                 if p_env > 0.0:
                     env_e_s = _tile(R[ci][env_row, :])
                     le_ci = jnp.where(chose_env, env_e_s, le_inst)
@@ -682,15 +710,20 @@ def _shade_kernel(consts, settings,
     wo_lam_s, f_lam_s, pdf_lam_s = cmath.sample_lambertian(refl[0], wi_local,
                                                            u_b[0], u_b[1])
     w_lam_s = jnp.minimum(refl[0], 1.0)
-    a_g = jnp.maximum(alpha, 1e-4)
-    wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
-        a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3), kappa[0],
-        metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
-        TransportMode.Radiance)
-    is_ggx = mtype == MAT_GGX
-    wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
-    f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
-    ratio_hero = jnp.where(is_ggx, w_ggx_s, w_lam_s)
+    if c["has_ggx"]:
+        a_g = jnp.maximum(alpha, 1e-4)
+        wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
+            a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3),
+            kappa[0], metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
+            TransportMode.Radiance)
+        is_ggx = mtype == MAT_GGX
+        wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
+        f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
+        ratio_hero = jnp.where(is_ggx, w_ggx_s, w_lam_s)
+    else:
+        wo_local_s = wo_lam_s
+        f_pdf = pdf_lam_s
+        ratio_hero = w_lam_s
     is_pass = mtype == 4.0
     f_pdf = jnp.where(is_pass, 0.0, f_pdf)
     ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
@@ -700,7 +733,8 @@ def _shade_kernel(consts, settings,
     for ci in range(C):
         f_ci, _ = _bsdf_eval_lane(
             mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-            refl[ci], wi_local, wo_local_s, TransportMode.Radiance)
+            refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
+            has_ggx=c["has_ggx"])
         f_lanes.append(f_ci)
     hero_f = f_lanes[0]
     hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
@@ -1003,18 +1037,91 @@ def _freeze(d):
     return tuple(sorted(d.items()))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "n", "n_pad", "interpret"),
+)
+def _mega_render(camera, tabs, key, settings_t, consts_t, n, n_pad, interpret):
+    """The ENTIRE render in one jitted program (init spawn + bounce loop +
+    film slice). On the axon tunnel every EAGER op is its own 20-40 s remote
+    compile — an un-jitted driver here spent >10 min in what looked like a
+    Mosaic hang but was dozens of tiny eager compiles."""
+    import jax.random as jrandom
+
+    from pathtracer_tpu.core import sampling
+
+    settings = dict(settings_t)
+    c_lanes = settings["c_lanes"]
+    width = settings["width"]
+    height = settings["height"]
+    start = settings["start"]
+    spp = settings["spp"]
+    nu = _n_u_rows(settings["light_samples"])
+
+    pix = start + jnp.arange(n_pad, dtype=jnp.float32)
+    xy = jnp.stack([pix % width, jnp.floor(pix / width)], axis=-1)
+    rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
+    film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
+    offs = jnp.arange(c_lanes, dtype=jnp.float32) / c_lanes
+    lam0 = settings["wb_lo"] + ((rnd0[:, 4:5] + offs[None, :]) % 1.0) * settings["wb_span"]
+    o0, d0, tau0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1],
+                                  rnd0[:, 2], rnd0[:, 3])
+    in_batch = jnp.arange(n_pad) < n
+    state = jnp.zeros((NS, n_pad), jnp.float32)
+    state = state.at[S_O:S_O + 3].set(o0.T)
+    state = state.at[S_D:S_D + 3].set(d0.T)
+    state = state.at[S_LAM:S_LAM + c_lanes].set(lam0.T)
+    state = state.at[S_BETA:S_BETA + c_lanes].set(
+        jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
+    state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, spp))
+    state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
+
+    k_iter = sampling.fold(key, 2)
+
+    def body(carry):
+        it, state, counters = carry
+        u = jrandom.uniform(jrandom.fold_in(k_iter, it), (nu, state.shape[1]))
+        state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
+                                    interpret)
+        counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
+        counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
+        counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
+        counters = counters.at[prof.ENV_HITS].add(c4[3])
+        return it + 1, state, counters
+
+    def cond(carry):
+        return jnp.any(carry[1][S_ALIVE] > 0.5)
+
+    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
+    _, state, counters = jax.lax.while_loop(cond, body,
+                                            (jnp.int32(0), state, counters0))
+    acc = state[S_ACC:S_ACC + 3, :n].T
+    return acc, counters
+
+
+_SCENE_CACHE: dict = {}
+
+
 def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                         start=0, batch_n=None, interpret=False):
     """Megakernel drop-in for integrator.pt_regen.pt_trace_regen: renders
     `spp` samples for pixels [start, start+batch_n) with one lane per pixel.
     Returns (xyz sums [batch_n, 3], counters[5]).
 
-    Estimator-identical to the XLA regen loop (same NEE/MIS/RR/HWSS math —
-    see _shade_kernel/_finalize_kernel citations); RNG differs (Mosaic
-    PRNG), so outputs agree statistically, not bit-wise.
+    Estimator-identical to the XLA regen loop (same NEE/MIS/RR machinery —
+    see _shade_kernel/_finalize_kernel citations); the uniform stream is
+    drawn per-iteration host-side, so outputs agree statistically, not
+    bit-wise.
     """
     c_lanes = C_LANES if settings.hwss else 1
-    scene = build_mega_scene(world, camera, settings)
+    # single-entry cache holding the world/camera objects themselves (both
+    # identity-checked AND kept alive, so freed-id reuse can't alias)
+    cached = _SCENE_CACHE.get("entry")
+    if cached is not None and cached[0] is world and cached[1] is camera:
+        scene = cached[2]
+    else:
+        scene = build_mega_scene(world, camera, settings)
+        _SCENE_CACHE["entry"] = (world, camera, scene)
     n = batch_n or (width * height)
     # lane padding must satisfy both this module's TILE and the sweep
     # kernels' RAY_TILE grids
@@ -1036,55 +1143,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         wb_lo=float(wb.lower),
         wb_span=float(wb.span),
     )
-
-    # ---- initial spawn in XLA (reuses the tested camera path; the kernel
-    # respawns all subsequent samples)
-    import jax.random as jrandom
-
-    from pathtracer_tpu.core import sampling
-
-    pix = start + jnp.arange(n_pad, dtype=jnp.int32)
-    xy = jnp.stack([(pix % width).astype(jnp.float32),
-                    (pix // width).astype(jnp.float32)], axis=-1)
-    rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
-    film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
-    offs = jnp.arange(c_lanes, dtype=jnp.float32) / c_lanes
-    lam0 = wb.lower + ((rnd0[:, 4:5] + offs[None, :]) % 1.0) * wb.span
-    o0, d0, tau0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1],
-                                  rnd0[:, 2], rnd0[:, 3])
-    in_batch = jnp.arange(n_pad) < n
-    state = jnp.zeros((NS, n_pad), jnp.float32)
-    state = state.at[S_O:S_O + 3].set(o0.T)
-    state = state.at[S_D:S_D + 3].set(d0.T)
-    state = state.at[S_LAM:S_LAM + c_lanes].set(lam0.T)
-    state = state.at[S_BETA:S_BETA + c_lanes].set(
-        jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
-    state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, float(spp)))
-    state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
-
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
             scene.spec_tab)
-    settings_t = _freeze(settings_d)
-    consts_t = _freeze(scene.consts)
-    k_iter = sampling.fold(key, 2)
-    nu = _n_u_rows(int(settings.light_samples))
-
-    def body(carry):
-        it, state, counters = carry
-        u = jrandom.uniform(jrandom.fold_in(k_iter, it), (nu, state.shape[1]))
-        state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
-                                    interpret)
-        counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
-        counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
-        counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
-        counters = counters.at[prof.ENV_HITS].add(c4[3])
-        return it + 1, state, counters
-
-    def cond(carry):
-        return jnp.any(carry[1][S_ALIVE] > 0.5)
-
-    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
-    _, state, counters = jax.lax.while_loop(cond, body,
-                                            (jnp.int32(0), state, counters0))
-    acc = state[S_ACC:S_ACC + 3, :n].T
-    return acc, counters
+    return _mega_render(camera, tabs, key, _freeze(settings_d),
+                        _freeze(scene.consts), n, n_pad, interpret)
