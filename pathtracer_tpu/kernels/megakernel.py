@@ -957,26 +957,16 @@ def _row_spec(rows):
     jax.jit,
     static_argnames=("settings_t", "consts_t", "interpret"),
 )
-def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
-    """One bounce round: K1 -> K2 -> K3 -> K4. Returns (state', counter4)."""
+def _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret):
     settings = dict(settings_t)
     consts = dict(consts_t)
-    # the TPU-semantics interpreter (InterpretParams) handles what plain
-    # interpret mode can't
     interp = pltpu.InterpretParams() if interpret else False
     prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
-
-    tmin_row = jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32)
-    tmax_row = jnp.full((1, n_pad), RAY_TMAX, jnp.float32)
-    rays = jnp.concatenate([state[S_O:S_O + 6], tmin_row, tmax_row], axis=0)
-    tp = _sweep_closest(rays, dense_tab, interpret=interpret)
-    tp = jnp.concatenate([tp, jnp.zeros((6, n_pad), jnp.float32)], axis=0)
-
     nu = _n_u_rows(ls)
-    k2 = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_shade_kernel, consts, settings),
         grid=(n_pad // TILE,),
         in_specs=[
@@ -993,22 +983,19 @@ def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
         interpret=interp,
     )(u, state, tp, prim_tab, mat_tab, light_tab, spec_tab)
 
-    # shadow sweeps
-    blk_rows = []
-    for si in range(ls):
-        base = O_NEE + 12 * si
-        srays = jnp.concatenate(
-            [k2[base:base + 6],
-             jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32),
-             k2[base + 6:base + 7]],
-            axis=0)
-        blk_rows.append(_sweep_any(srays, dense_tab, interpret=interpret))
-    if ls:
-        blk = jnp.concatenate(
-            blk_rows + [jnp.zeros((8 - ls, n_pad), jnp.float32)], axis=0)
-    else:
-        blk = jnp.zeros((8, n_pad), jnp.float32)
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
+def _k4_call(state, k2, blk, u, settings_t, consts_t, interpret):
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    interp = pltpu.InterpretParams() if interpret else False
+    n_pad = state.shape[1]
+    ls = settings["light_samples"]
+    nk2 = _k2_rows(ls)
+    nu = _n_u_rows(ls)
     out4 = pl.pallas_call(
         functools.partial(_finalize_kernel, consts, settings),
         grid=(n_pad // TILE,),
@@ -1022,30 +1009,77 @@ def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
         out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
         interpret=interp,
     )(u, state, k2, blk)
-
     state_out = out4[:NS]
-    counters = jnp.stack([
+    counters4 = jnp.stack([
         jnp.sum(out4[O4_BOUNCE_CT]),       # BOUNCE_RAYS
         jnp.sum(k2[O_SHADOW_CT]),          # SHADOW_RAYS
         jnp.sum(out4[O4_CAMERA_CT]),       # CAMERA_RAYS
         jnp.sum(k2[O_ENV_CT]),             # ENV_HITS
     ])
-    return state_out, counters
+    return state_out, counters4
 
 
-def _freeze(d):
-    return tuple(sorted(d.items()))
+@jax.jit
+def _camera_rays_pack(state):
+    n_pad = state.shape[1]
+    tmin_row = jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32)
+    tmax_row = jnp.full((1, n_pad), RAY_TMAX, jnp.float32)
+    return jnp.concatenate([state[S_O:S_O + 6], tmin_row, tmax_row], axis=0)
+
+
+@jax.jit
+def _tp_pad(tp):
+    n_pad = tp.shape[1]
+    return jnp.concatenate([tp, jnp.zeros((6, n_pad), jnp.float32)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("si",))
+def _shadow_rays_pack(k2, si):
+    n_pad = k2.shape[1]
+    base = O_NEE + 12 * si
+    return jnp.concatenate(
+        [k2[base:base + 6],
+         jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32),
+         k2[base + 6:base + 7]],
+        axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("ls",))
+def _blk_pack(k2, blk_rows, ls):
+    n_pad = k2.shape[1]
+    if ls:
+        return jnp.concatenate(
+            list(blk_rows) + [jnp.zeros((8 - ls, n_pad), jnp.float32)], axis=0)
+    return jnp.zeros((8, n_pad), jnp.float32)
+
+
+def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
+    """One bounce round: K1 -> K2 -> K3 -> K4, dispatched as SEPARATE
+    jitted programs from the host. The tunnel's AOT compiler stalls
+    indefinitely on any XLA program containing more than one pallas_call
+    (each kernel alone compiles in seconds); per-program dispatch is cheap
+    and async, so splitting costs only a few extra state round-trips
+    through HBM per bounce."""
+    settings = dict(settings_t)
+    ls = settings["light_samples"]
+    dense_tab = tabs[1]
+    rays = _camera_rays_pack(state)
+    tp = _tp_pad(_sweep_closest(rays, dense_tab, interpret=interpret))
+    k2 = _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret)
+    blk_rows = []
+    for si in range(ls):
+        srays = _shadow_rays_pack(k2, si)
+        blk_rows.append(_sweep_any(srays, dense_tab, interpret=interpret))
+    blk = _blk_pack(k2, tuple(blk_rows), ls)
+    return _k4_call(state, k2, blk, u, settings_t, consts_t, interpret)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("settings_t", "consts_t", "n", "n_pad", "interpret"),
+    static_argnames=("settings_t", "n", "n_pad"),
 )
-def _mega_render(camera, tabs, key, settings_t, consts_t, n, n_pad, interpret):
-    """The ENTIRE render in one jitted program (init spawn + bounce loop +
-    film slice). On the axon tunnel every EAGER op is its own 20-40 s remote
-    compile — an un-jitted driver here spent >10 min in what looked like a
-    Mosaic hang but was dozens of tiny eager compiles."""
+def _mega_init(camera, key, settings_t, n, n_pad):
+    """Initial spawn as ONE jitted program (state + counters)."""
     import jax.random as jrandom
 
     from pathtracer_tpu.core import sampling
@@ -1056,8 +1090,6 @@ def _mega_render(camera, tabs, key, settings_t, consts_t, n, n_pad, interpret):
     height = settings["height"]
     start = settings["start"]
     spp = settings["spp"]
-    nu = _n_u_rows(settings["light_samples"])
-
     pix = start + jnp.arange(n_pad, dtype=jnp.float32)
     xy = jnp.stack([pix % width, jnp.floor(pix / width)], axis=-1)
     rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
@@ -1075,31 +1107,59 @@ def _mega_render(camera, tabs, key, settings_t, consts_t, n, n_pad, interpret):
         jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
     state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, spp))
     state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
-
-    k_iter = sampling.fold(key, 2)
-
-    def body(carry):
-        it, state, counters = carry
-        u = jrandom.uniform(jrandom.fold_in(k_iter, it), (nu, state.shape[1]))
-        state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
-                                    interpret)
-        counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
-        counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
-        counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
-        counters = counters.at[prof.ENV_HITS].add(c4[3])
-        return it + 1, state, counters
-
-    def cond(carry):
-        return jnp.any(carry[1][S_ALIVE] > 0.5)
-
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
-    _, state, counters = jax.lax.while_loop(cond, body,
-                                            (jnp.int32(0), state, counters0))
-    acc = state[S_ACC:S_ACC + 3, :n].T
-    return acc, counters
+    return state, counters0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nu",))
+def _draw_u(key, it_dev, nu, n_pad_ref):
+    import jax.random as jrandom
+
+    return jrandom.uniform(jrandom.fold_in(key, it_dev),
+                           (nu, n_pad_ref.shape[1]))
+
+
+@jax.jit
+def _bump(it_dev):
+    return it_dev + 1
+
+
+@jax.jit
+def _acc_counters(counters, c4):
+    counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
+    counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
+    counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
+    counters = counters.at[prof.ENV_HITS].add(c4[3])
+    return counters
+
+
+def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
+               interpret):
+    """One bounce round incl. its uniform draw + counter accumulation —
+    the unit the host loop dispatches (each sub-program its own jit; see
+    _mega_iteration on why)."""
+    settings = dict(settings_t)
+    nu = _n_u_rows(settings["light_samples"])
+    u = _draw_u(key, it_dev, nu, state)
+    state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
+                                interpret)
+    counters = _acc_counters(counters, c4)
+    return state, counters, _bump(it_dev)
+
+
+@jax.jit
+def _any_alive(state):
+    return jnp.any(state[S_ALIVE] > 0.5)
+
+
+def _freeze(d):
+    return tuple(sorted(d.items()))
 
 
 _SCENE_CACHE: dict = {}
+ALIVE_CHECK_EVERY = 12  # host syncs (tunnel RTT ~35ms) amortised over steps
 
 
 def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
@@ -1109,13 +1169,11 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     Returns (xyz sums [batch_n, 3], counters[5]).
 
     Estimator-identical to the XLA regen loop (same NEE/MIS/RR machinery —
-    see _shade_kernel/_finalize_kernel citations); the uniform stream is
-    drawn per-iteration host-side, so outputs agree statistically, not
-    bit-wise.
+    see _shade_kernel/_finalize_kernel citations); the uniform stream is an
+    independent threefry draw per bounce round, so outputs agree
+    statistically, not bit-wise.
     """
     c_lanes = C_LANES if settings.hwss else 1
-    # single-entry cache holding the world/camera objects themselves (both
-    # identity-checked AND kept alive, so freed-id reuse can't alias)
     cached = _SCENE_CACHE.get("entry")
     if cached is not None and cached[0] is world and cached[1] is camera:
         scene = cached[2]
@@ -1123,8 +1181,6 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         scene = build_mega_scene(world, camera, settings)
         _SCENE_CACHE["entry"] = (world, camera, scene)
     n = batch_n or (width * height)
-    # lane padding must satisfy both this module's TILE and the sweep
-    # kernels' RAY_TILE grids
     step = max(TILE, RAY_TILE)
     n_pad = -(-n // step) * step
     wb = settings.wavelength_bounds
@@ -1145,5 +1201,24 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     )
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
             scene.spec_tab)
-    return _mega_render(camera, tabs, key, _freeze(settings_d),
-                        _freeze(scene.consts), n, n_pad, interpret)
+    settings_t = _freeze(settings_d)
+    consts_t = _freeze(scene.consts)
+
+    from pathtracer_tpu.core import sampling
+
+    state, counters = _mega_init(camera, key, settings_t, n, n_pad)
+    k_iter = sampling.fold(key, 2)
+    it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
+    it = 0
+    # hard cap: expected rounds ~ spp x mean path length; 8x headroom
+    max_iters = int(spp * settings.max_bounces * 8 + 64)
+    while it < max_iters:
+        for _ in range(ALIVE_CHECK_EVERY):
+            state, counters, it_dev = _mega_step(
+                state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
+                interpret)
+            it += 1
+        if not bool(np.asarray(_any_alive(state))):
+            break
+    acc = state[S_ACC:S_ACC + 3, :n].T
+    return acc, counters

@@ -97,6 +97,28 @@ def test_mega_matches_regen_cornell(cornell):
 
 
 @pytest.mark.slow
+def test_mega_hwss_matches_regen(cornell):
+    """HWSS (C=4 hero-wavelength lanes) through the megakernel vs the XLA
+    regen integrator."""
+    w = h = 48
+    spp = 6
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=1,
+                          russian_roulette=True, hwss=True)
+    acc_m, c_m = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(13), interpret=True)
+    acc_r, c_r = pt_trace_regen(cornell.world, cam, settings, w, h, spp,
+                                jax.random.PRNGKey(14))
+    am = np.asarray(acc_m).mean(axis=0) / spp
+    ar = np.asarray(acc_r).mean(axis=0) / spp
+    assert np.isfinite(np.asarray(acc_m)).all()
+    np.testing.assert_allclose(am, ar, rtol=0.25)  # MC noise bound
+    c_m, c_r = np.asarray(c_m), np.asarray(c_r)
+    nz = c_r > 0
+    np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
+
+
+@pytest.mark.slow
 def test_mega_white_furnace():
     """Energy conservation through the megakernel: unit-albedo sphere under a
     unit constant env integrates to 1 (reference data/scenes/white_furnace.toml
