@@ -323,3 +323,102 @@ def pallas_intersect_any_dense(prims: Primitives, o, d, t_min, t_max,
     tab = pack_prims(prims)
     out = _sweep_any(rays, tab, interpret=interpret)
     return out[0, :n] > 0.5
+
+# ---- row-source variants: read ray origins/dirs straight out of a wider
+# row-packed block (megakernel state / K2 output) instead of a dedicated
+# [8, N] rays array — saves one concat program + one HBM round-trip per
+# sweep in the megakernel pipeline. tmin/tmax are baked constants; the
+# closest variant emits an [8, N] block (row 0 = t, row 1 = prim id) so the
+# consumer can take it as an aligned input without a pad program.
+
+
+def _closest_rows_kernel(row0, tmin_c, tmax_c, src_ref, tab_ref, out_ref):
+    chunks = _prim_chunks(tab_ref)
+    for rg in range(RAY_TILE // GW):
+        sl = slice(rg * GW, (rg + 1) * GW)
+        ox = src_ref[row0 + 0, sl][None, :]
+        oy = src_ref[row0 + 1, sl][None, :]
+        oz = src_ref[row0 + 2, sl][None, :]
+        dx = src_ref[row0 + 3, sl][None, :]
+        dy = src_ref[row0 + 4, sl][None, :]
+        dz = src_ref[row0 + 5, sl][None, :]
+        t_min = jnp.full((1, GW), tmin_c, jnp.float32)
+        t_max = jnp.full((1, GW), tmax_c, jnp.float32)
+        best_t = jnp.full((GW,), jnp.inf, jnp.float32)
+        best_id = jnp.full((GW,), jnp.inf, jnp.float32)
+        for pc, ch in enumerate(chunks):
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+            ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
+                   .astype(jnp.float32) + float(pc * PB))
+            ct = jnp.min(t, axis=0)
+            cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
+            better = ct < best_t
+            best_t = jnp.where(better, ct, best_t)
+            best_id = jnp.where(better, cid, best_id)
+        hit = jnp.isfinite(best_t)
+        out_ref[0, sl] = best_t
+        out_ref[1, sl] = jnp.where(hit, best_id, -1.0)
+        for r in range(2, 8):
+            out_ref[r, sl] = jnp.zeros((GW,), jnp.float32)
+
+
+def _any_rows_kernel(row0, tmin_c, tmax_row, src_ref, tab_ref, out_ref):
+    """tmax_row: row index of per-ray tmax within src (or None -> RAY_TMAX
+    constant is not needed here; megakernel NEE always carries a tmax row)."""
+    chunks = _prim_chunks(tab_ref)
+    for rg in range(RAY_TILE // GW):
+        sl = slice(rg * GW, (rg + 1) * GW)
+        ox = src_ref[row0 + 0, sl][None, :]
+        oy = src_ref[row0 + 1, sl][None, :]
+        oz = src_ref[row0 + 2, sl][None, :]
+        dx = src_ref[row0 + 3, sl][None, :]
+        dy = src_ref[row0 + 4, sl][None, :]
+        dz = src_ref[row0 + 5, sl][None, :]
+        t_min = jnp.full((1, GW), tmin_c, jnp.float32)
+        t_max = src_ref[tmax_row, sl][None, :]
+        blocked = jnp.zeros((GW,), jnp.float32)
+        for ch in chunks:
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+            blocked = jnp.maximum(
+                blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
+        out_ref[0, sl] = blocked
+        for r in range(1, 8):
+            out_ref[r, sl] = jnp.zeros((GW,), jnp.float32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row0", "tmin_c", "tmax_c", "src_rows",
+                                    "interpret"))
+def sweep_closest_rows(src, tab, row0, tmin_c, tmax_c, src_rows,
+                       interpret=False):
+    n_pad = src.shape[1]
+    return pl.pallas_call(
+        functools.partial(_closest_rows_kernel, row0, tmin_c, tmax_c),
+        grid=(n_pad // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((src_rows, RAY_TILE), lambda i: (0, i)),
+            pl.BlockSpec(tab.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )(src, tab)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("row0", "tmin_c", "tmax_row", "src_rows",
+                                    "interpret"))
+def sweep_any_rows(src, tab, row0, tmin_c, tmax_row, src_rows,
+                   interpret=False):
+    n_pad = src.shape[1]
+    return pl.pallas_call(
+        functools.partial(_any_rows_kernel, row0, tmin_c, tmax_row),
+        grid=(n_pad // RAY_TILE,),
+        in_specs=[
+            pl.BlockSpec((src_rows, RAY_TILE), lambda i: (0, i)),
+            pl.BlockSpec(tab.shape, lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((8, n_pad), jnp.float32),
+        interpret=interpret,
+    )(src, tab)

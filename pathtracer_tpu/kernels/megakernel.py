@@ -319,12 +319,15 @@ def _flatrow(x):
 
 
 def _n_u_rows(light_samples):
-    """Uniform rows per iteration: 3 per NEE sample + 3 (bsdf sample) +
-    1 (RR) + 5 (respawn), padded to a sublane multiple. Drawn host-side
-    with jax.random and passed in as a [NU, N] block — the Mosaic PRNG
-    returns int32 bits (sign-contaminated shifts) and the TPU interpreter
-    stubs it to zeros, so in-kernel RNG is neither portable nor testable."""
-    return -(-(3 * light_samples + 9) // 8) * 8
+    """K2's uniform rows: 3 per NEE sample + 3 (bsdf sample), padded to a
+    sublane multiple. Drawn with jax.random INSIDE each kernel-call's jit
+    (threefry + one pallas call per program compiles fine on the tunnel;
+    the Mosaic in-kernel PRNG returns int32 bits and the TPU interpreter
+    stubs it to zeros, so host-fed uniforms stay the portable choice)."""
+    return -(-(3 * light_samples + 3) // 8) * 8
+
+
+NU4 = 8  # K4's uniform rows: 1 (RR) + 5 (respawn), padded
 
 
 def _sel_rows(mat_prod, ids, rows, n, stride=1, base=0):
@@ -776,8 +779,8 @@ def _shade_kernel(consts, settings,
 # ----------------------------------------------------------------- kernel K4
 
 
-def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, blk_ref,
-                     out_ref):
+def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, *rest):
+    *blk_refs, out_ref = rest
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
@@ -815,7 +818,7 @@ def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, blk_ref,
     for si in range(ls):
         base = O_NEE + 12 * si
         worth = k2(base + 7) > 0.5
-        blocked = _tile(blk_ref[si, :]) > 0.5
+        blocked = _tile(blk_refs[si][0, :]) > 0.5
         ok = worth & ~blocked
         for ci in range(C):
             rad[ci] = rad[ci] + jnp.where(ok, k2(base + 8 + ci), 0.0)
@@ -825,7 +828,7 @@ def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, blk_ref,
     for ci in range(1, C):
         ratio_best = jnp.maximum(ratio_best, ratios[ci])
     sample_ok = sample_ok & (ratio_best > 0.0)
-    u_rr = _tile(u_ref[3 * ls + 3, :])
+    u_rr = _tile(u_ref[0, :])
     if rr_enabled:
         rr_on = bounce_ct >= min_bounces
         p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
@@ -864,7 +867,7 @@ def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, blk_ref,
 
     # ---- respawn: thin-lens camera ray (camera/projective.py get_ray +
     # camera/aperture.py sample_aperture, componentwise)
-    rnd = [_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)]
+    rnd = [_tile(u_ref[1 + i, :]) for i in range(5)]
     gidx = (jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0).astype(jnp.float32) * 128.0
             + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1).astype(jnp.float32)
             + pl.program_id(0).astype(jnp.float32) * float(TILE))
@@ -957,7 +960,9 @@ def _row_spec(rows):
     jax.jit,
     static_argnames=("settings_t", "consts_t", "interpret"),
 )
-def _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret):
+def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
+    import jax.random as jrandom
+
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
@@ -966,6 +971,8 @@ def _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret):
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
     nu = _n_u_rows(ls)
+    u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
+                        (nu, n_pad))
     return pl.pallas_call(
         functools.partial(_shade_kernel, consts, settings),
         grid=(n_pad // TILE,),
@@ -988,90 +995,69 @@ def _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret):
     jax.jit,
     static_argnames=("settings_t", "consts_t", "interpret"),
 )
-def _k4_call(state, k2, blk, u, settings_t, consts_t, interpret):
+def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
+             interpret):
+    import jax.random as jrandom
+
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
-    nu = _n_u_rows(ls)
+    u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 1),
+                        (NU4, n_pad))
     out4 = pl.pallas_call(
         functools.partial(_finalize_kernel, consts, settings),
         grid=(n_pad // TILE,),
         in_specs=[
-            _row_spec(nu),
+            _row_spec(NU4),
             _row_spec(NS),
             _row_spec(nk2),
-            _row_spec(8),
-        ],
+        ] + [_row_spec(8) for _ in blks],
         out_specs=_row_spec(NK4),
         out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
         interpret=interp,
-    )(u, state, k2, blk)
+    )(u, state, k2, *blks)
     state_out = out4[:NS]
-    counters4 = jnp.stack([
-        jnp.sum(out4[O4_BOUNCE_CT]),       # BOUNCE_RAYS
-        jnp.sum(k2[O_SHADOW_CT]),          # SHADOW_RAYS
-        jnp.sum(out4[O4_CAMERA_CT]),       # CAMERA_RAYS
-        jnp.sum(k2[O_ENV_CT]),             # ENV_HITS
-    ])
-    return state_out, counters4
+    counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(out4[O4_BOUNCE_CT]))
+    counters = counters.at[prof.SHADOW_RAYS].add(jnp.sum(k2[O_SHADOW_CT]))
+    counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum(out4[O4_CAMERA_CT]))
+    counters = counters.at[prof.ENV_HITS].add(jnp.sum(k2[O_ENV_CT]))
+    return state_out, counters, it_dev + 1
 
 
-@jax.jit
-def _camera_rays_pack(state):
-    n_pad = state.shape[1]
-    tmin_row = jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32)
-    tmax_row = jnp.full((1, n_pad), RAY_TMAX, jnp.float32)
-    return jnp.concatenate([state[S_O:S_O + 6], tmin_row, tmax_row], axis=0)
-
-
-@jax.jit
-def _tp_pad(tp):
-    n_pad = tp.shape[1]
-    return jnp.concatenate([tp, jnp.zeros((6, n_pad), jnp.float32)], axis=0)
-
-
-@functools.partial(jax.jit, static_argnames=("si",))
-def _shadow_rays_pack(k2, si):
-    n_pad = k2.shape[1]
-    base = O_NEE + 12 * si
-    return jnp.concatenate(
-        [k2[base:base + 6],
-         jnp.full((1, n_pad), INTERSECTION_TIME_OFFSET, jnp.float32),
-         k2[base + 6:base + 7]],
-        axis=0)
-
-
-@functools.partial(jax.jit, static_argnames=("ls",))
-def _blk_pack(k2, blk_rows, ls):
-    n_pad = k2.shape[1]
-    if ls:
-        return jnp.concatenate(
-            list(blk_rows) + [jnp.zeros((8 - ls, n_pad), jnp.float32)], axis=0)
-    return jnp.zeros((8, n_pad), jnp.float32)
-
-
-def _mega_iteration(state, tabs, u, settings_t, consts_t, interpret):
-    """One bounce round: K1 -> K2 -> K3 -> K4, dispatched as SEPARATE
-    jitted programs from the host. The tunnel's AOT compiler stalls
-    indefinitely on any XLA program containing more than one pallas_call
-    (each kernel alone compiles in seconds); per-program dispatch is cheap
-    and async, so splitting costs only a few extra state round-trips
-    through HBM per bounce."""
+def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
+               interpret):
+    """One bounce round = exactly FIVE dispatched programs:
+      K1  closest-hit straight off the state rows (dense.sweep_closest_rows)
+      K2  shading (draws its own uniform block in-jit)
+      K3  one any-hit per light sample straight off K2's NEE rows
+      K4  finalize (own uniforms, counters fused, iteration bump fused)
+    Each program holds exactly ONE pallas_call — the tunnel's AOT compiler
+    takes ~110 s per ADDITIONAL pallas call in a program (and never
+    finishes loop-wrapped pipelines), while single-kernel programs compile
+    in seconds and dispatch asynchronously."""
     settings = dict(settings_t)
     ls = settings["light_samples"]
     dense_tab = tabs[1]
-    rays = _camera_rays_pack(state)
-    tp = _tp_pad(_sweep_closest(rays, dense_tab, interpret=interpret))
-    k2 = _k2_call(state, tp, u, tabs, settings_t, consts_t, interpret)
-    blk_rows = []
-    for si in range(ls):
-        srays = _shadow_rays_pack(k2, si)
-        blk_rows.append(_sweep_any(srays, dense_tab, interpret=interpret))
-    blk = _blk_pack(k2, tuple(blk_rows), ls)
-    return _k4_call(state, k2, blk, u, settings_t, consts_t, interpret)
+    from pathtracer_tpu.kernels.dense import sweep_any_rows, sweep_closest_rows
+
+    tp = sweep_closest_rows(state, dense_tab, row0=S_O,
+                            tmin_c=INTERSECTION_TIME_OFFSET, tmax_c=RAY_TMAX,
+                            src_rows=NS, interpret=interpret)
+    k2 = _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t,
+                  interpret)
+    nk2 = _k2_rows(ls)
+    blks = [
+        sweep_any_rows(k2, dense_tab, row0=O_NEE + 12 * si,
+                       tmin_c=INTERSECTION_TIME_OFFSET,
+                       tmax_row=O_NEE + 12 * si + 6,
+                       src_rows=nk2, interpret=interpret)
+        for si in range(ls)
+    ]
+    return _k4_call(state, k2, blks, counters, key, it_dev, settings_t,
+                    consts_t, interpret)
 
 
 @functools.partial(
@@ -1109,44 +1095,6 @@ def _mega_init(camera, key, settings_t, n, n_pad):
     state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
     return state, counters0
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("nu",))
-def _draw_u(key, it_dev, nu, n_pad_ref):
-    import jax.random as jrandom
-
-    return jrandom.uniform(jrandom.fold_in(key, it_dev),
-                           (nu, n_pad_ref.shape[1]))
-
-
-@jax.jit
-def _bump(it_dev):
-    return it_dev + 1
-
-
-@jax.jit
-def _acc_counters(counters, c4):
-    counters = counters.at[prof.BOUNCE_RAYS].add(c4[0])
-    counters = counters.at[prof.SHADOW_RAYS].add(c4[1])
-    counters = counters.at[prof.CAMERA_RAYS].add(c4[2])
-    counters = counters.at[prof.ENV_HITS].add(c4[3])
-    return counters
-
-
-def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
-               interpret):
-    """One bounce round incl. its uniform draw + counter accumulation —
-    the unit the host loop dispatches (each sub-program its own jit; see
-    _mega_iteration on why)."""
-    settings = dict(settings_t)
-    nu = _n_u_rows(settings["light_samples"])
-    u = _draw_u(key, it_dev, nu, state)
-    state, c4 = _mega_iteration(state, tabs, u, settings_t, consts_t,
-                                interpret)
-    counters = _acc_counters(counters, c4)
-    return state, counters, _bump(it_dev)
 
 
 @jax.jit
