@@ -57,7 +57,7 @@ def pack_prims(prims: Primitives) -> jnp.ndarray:
     for host-side eager baking use pack_prims_np — on the axon tunnel every
     eager op is its own 20-40s remote compile."""
     p = prims.count
-    p_pad = -(-p // PB) * PB
+    p_pad = -(-p // 32) * 32  # 32-mult: shared with the fused kernel's PBF
     tab = jnp.zeros((p_pad, _N_COLS), jnp.float32)
     tab = tab.at[:p, _C_PTYPE].set(prims.ptype.astype(jnp.float32))
     tab = tab.at[:p, _C_VALID].set(prims.valid.astype(jnp.float32))
@@ -72,7 +72,7 @@ def pack_prims_np(ptype, valid, pa, pb, pc):
     import numpy as np
 
     p = len(ptype)
-    p_pad = -(-p // PB) * PB
+    p_pad = -(-p // 32) * 32  # 32-mult: shared with the fused kernel's PBF
     tab = np.zeros((p_pad, _N_COLS), np.float32)
     tab[:p, _C_PTYPE] = ptype
     tab[:p, _C_VALID] = valid

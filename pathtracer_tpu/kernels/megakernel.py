@@ -1154,15 +1154,20 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
 
     from pathtracer_tpu.core import sampling
 
+    import os as _os
+
     state, counters = _mega_init(camera, key, settings_t, n, n_pad)
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
+    # fused single-dispatch step by default; PT_MEGA_SPLIT=1 selects the
+    # 5-program pipeline (kept for ablation/debug)
+    step_fn = _mega_step if _os.environ.get("PT_MEGA_SPLIT") else _step_fused
     # hard cap: expected rounds ~ spp x mean path length; 8x headroom
     max_iters = int(spp * settings.max_bounces * 8 + 64)
     while it < max_iters:
         for _ in range(ALIVE_CHECK_EVERY):
-            state, counters, it_dev = _mega_step(
+            state, counters, it_dev = step_fn(
                 state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
                 interpret)
             it += 1
@@ -1170,3 +1175,521 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
             break
     acc = state[S_ACC:S_ACC + 3, :n].T
     return acc, counters
+
+
+# ===================== FUSED single-dispatch bounce round =====================
+# Every per-program dispatch over the axon tunnel costs ~3 ms, so even the
+# 5-program pipeline spends more time in launches than in compute at 1080p.
+# This variant inlines the closest-hit sweep, both shadow sweeps, the
+# shading AND the finalize/respawn into ONE Pallas kernel — one dispatch
+# per bounce round. It is still a single pallas_call, so the tunnel's
+# multi-call compile pathology does not apply; Mosaic compiles the larger
+# body in seconds.
+
+PBF = 32   # fused-sweep prim block (sublanes)
+GWF = 512  # fused-sweep ray group (lanes)
+
+
+def _fused_chunks(dense_ref):
+    """[PBF, 1] prim attr slabs from the transposed dense table."""
+    from pathtracer_tpu.kernels import dense as dn
+
+    p_pad = dense_ref.shape[0]
+    chunks = []
+    for pc in range(p_pad // PBF):
+        blk = dense_ref[pc * PBF:(pc + 1) * PBF, :]
+
+        def a(col, blk=blk):
+            return blk[:, col:col + 1]
+
+        chunks.append(dict(
+            ptype=a(dn._C_PTYPE), valid=a(dn._C_VALID),
+            pax=a(dn._C_PA), pay=a(dn._C_PA + 1), paz=a(dn._C_PA + 2),
+            pbx=a(dn._C_PB), pby=a(dn._C_PB + 1), pbz=a(dn._C_PB + 2),
+            pcx=a(dn._C_PC), pcy=a(dn._C_PC + 1), pcz=a(dn._C_PC + 2),
+        ))
+    return chunks
+
+
+def _sweep_tiles(chunks, o, d, t_max, closest):
+    """In-kernel sweep over [SUB, 128] ray tiles (lanes = rays): reshape to
+    (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce.
+    closest=True -> (t [SUB,128], id [SUB,128]); else blocked mask."""
+    from pathtracer_tpu.kernels.dense import _chunk_t
+
+    g = TILE // GWF
+    rs = lambda x: x.reshape(g, GWF)
+    ox, oy, oz = rs(o.x), rs(o.y), rs(o.z)
+    dx, dy, dz = rs(d.x), rs(d.y), rs(d.z)
+    tmax_r = rs(t_max) if hasattr(t_max, "reshape") else None
+    rows_a, rows_b = [], []
+    for rg in range(g):
+        oxr = ox[rg:rg + 1, :]
+        oyr = oy[rg:rg + 1, :]
+        ozr = oz[rg:rg + 1, :]
+        dxr = dx[rg:rg + 1, :]
+        dyr = dy[rg:rg + 1, :]
+        dzr = dz[rg:rg + 1, :]
+        tmin = jnp.full((1, GWF), INTERSECTION_TIME_OFFSET, jnp.float32)
+        tmax = (tmax_r[rg:rg + 1, :] if tmax_r is not None
+                else jnp.full((1, GWF), RAY_TMAX, jnp.float32))
+        if closest:
+            best_t = jnp.full((GWF,), jnp.inf, jnp.float32)
+            best_id = jnp.full((GWF,), jnp.inf, jnp.float32)
+            for pc, ch in enumerate(chunks):
+                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax)
+                ids = (jax.lax.broadcasted_iota(jnp.int32, (PBF, GWF), 0)
+                       .astype(jnp.float32) + float(pc * PBF))
+                ct = jnp.min(t, axis=0)
+                cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
+                better = ct < best_t
+                best_t = jnp.where(better, ct, best_t)
+                best_id = jnp.where(better, cid, best_id)
+            hitf = jnp.isfinite(best_t)
+            rows_a.append(best_t)
+            rows_b.append(jnp.where(hitf, best_id, -1.0))
+        else:
+            blocked = jnp.zeros((GWF,), jnp.float32)
+            for ch in chunks:
+                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax)
+                blocked = jnp.maximum(
+                    blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
+            rows_a.append(blocked)
+    if closest:
+        return (jnp.stack(rows_a).reshape(SUB, 128),
+                jnp.stack(rows_b).reshape(SUB, 128))
+    return jnp.stack(rows_a).reshape(SUB, 128) > 0.5
+
+
+def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
+                mat_ref, light_ref, spec_ref, out_ref):
+    """The whole bounce round (K1+K2+K3+K4) in one Mosaic kernel.
+
+    Identical math to _shade_kernel + _finalize_kernel with the sweeps from
+    kernels/dense.py inlined via _sweep_tiles (same per-function reference
+    citations apply); NEE shadow rays resolve immediately instead of
+    round-tripping through HBM."""
+    c = consts
+    ls = settings["light_samples"]
+    C = settings["c_lanes"]
+    nee_enabled = ls > 0
+    p_env = c["p_env"]
+    n_mats = c["n_mats"]
+    n_lights = c["n_lights"]
+    have_lights = n_lights > 0
+    spp = settings["spp"]
+    max_bounces = settings["max_bounces"]
+    min_bounces = settings["min_bounces"]
+    rr_enabled = settings["russian_roulette"]
+    only_direct = settings["only_direct"]
+    width = settings["width"]
+    height = settings["height"]
+    start = settings["start"]
+    wb_lo = settings["wb_lo"]
+    wb_span = settings["wb_span"]
+
+    s = lambda i: _tile(state_ref[i, :])
+    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+    lam = [s(S_LAM + i) for i in range(C)]
+    beta = [s(S_BETA + i) for i in range(C)]
+    rad = [s(S_RAD + i) for i in range(C)]
+    acc = [s(S_ACC + i) for i in range(3)]
+    done = s(S_DONE)
+    alive = s(S_ALIVE) > 0.5
+    bounce_ct = s(S_BOUNCE)
+    prev_pdf = s(S_PREV_PDF)
+
+    mat_tab = mat_ref[:]
+    light_tab = light_ref[:]
+    chunks = _fused_chunks(dense_ref)
+
+    # ---- K1: closest hit straight off the live ray state
+    t_hit, pid = _sweep_tiles(chunks, o, d, None, closest=True)
+    hit = pid >= 0.0
+    pid_c = jnp.maximum(pid, 0.0)
+
+    p_pad = prim_ref.shape[1]
+    onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, TILE), 0).astype(jnp.float32)
+                == _flatrow(pid_c)[None, :]).astype(jnp.float32)
+    attr = jax.lax.dot_general(
+        prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    point, normal, gn, mat_id, kind, area = _hit_attributes(attr, o, d, t_hit)
+    at_surface = alive & hit & (kind != 2.0)
+
+    spec = spec_ref[:, :]
+    R = []
+    for ci in range(C):
+        soft = _soft_onehot(lam[ci], c["lam_lo"], c["lam_hi"])
+        R.append(jax.lax.dot_general(
+            spec, soft, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST))
+
+    env_row = 5 * n_mats
+    escaped = alive & ~hit
+    if nee_enabled and p_env > 0.0:
+        er = c["env_rot"]
+        dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
+        v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
+        jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
+        env_nee_pdf = (1.0 / jac) * p_env
+        use_mis_env = (bounce_ct > 0.5) & (env_nee_pdf + prev_pdf > 0.0)
+        w_env = jnp.where(use_mis_env,
+                          _balance(prev_pdf, jnp.maximum(env_nee_pdf, 0.0)), 1.0)
+    else:
+        w_env = jnp.ones((SUB, 128), jnp.float32)
+    for ci in range(C):
+        env_e = _tile(R[ci][env_row, :])
+        rad[ci] = rad[ci] + jnp.where(escaped, beta[ci] * env_e * w_env, 0.0)
+    env_ct = escaped.astype(jnp.float32)
+
+    wi_world = -d
+    cos_at_light = cmath.dot(gn, wi_world)
+    side = _mat_param(mat_tab, _M_SIDE, mat_id, n_mats)
+    sharp = _mat_param(mat_tab, _M_SHARP, mat_id, n_mats)
+    mtype = _mat_param(mat_tab, _M_TYPE, mat_id, n_mats)
+    if have_lights:
+        pick_pdf = (1.0 - p_env) / float(max(n_lights, 1))
+        hyp = pick_pdf * t_hit * t_hit / jnp.maximum(
+            jnp.abs(cos_at_light) * area, 1e-30)
+        hyp = jnp.where(jnp.abs(cos_at_light) * area > 0.0, hyp, 0.0)
+        use_mis_l = (bounce_ct > 0.5) & nee_enabled
+        w_light = jnp.where(use_mis_l & (prev_pdf + hyp > 0.0),
+                            _balance(prev_pdf, jnp.maximum(hyp, 0.0)), 1.0)
+        is_light_hit = at_surface & (kind == 1.0)
+        for ci in range(C):
+            spd = _sel_rows(R[ci], mat_id, 4, n_mats, stride=5)
+            le = _emission_value(spd, mtype, side, sharp, cos_at_light,
+                                 has_sharp=c["has_sharp"])
+            rad[ci] = rad[ci] + jnp.where(is_light_hit, beta[ci] * le * w_light, 0.0)
+
+    tgt, btg = cmath.orthonormal_basis(normal)
+    wi_local = cmath.to_local(tgt, btg, normal, wi_world)
+
+    alpha = _mat_param(mat_tab, _M_ALPHA, mat_id, n_mats)
+    metal = _mat_param(mat_tab, _M_METAL, mat_id, n_mats)
+    perm = _mat_param(mat_tab, _M_PERM, mat_id, n_mats)
+    rscale = _mat_param(mat_tab, _M_RSCALE, mat_id, n_mats)
+    eta_i = [_sel_rows(R[ci], mat_id, 0, n_mats, stride=5) for ci in range(C)]
+    eta_o = [_sel_rows(R[ci], mat_id, 1, n_mats, stride=5) for ci in range(C)]
+    kappa = [_sel_rows(R[ci], mat_id, 2, n_mats, stride=5) for ci in range(C)]
+    refl = [rscale * _sel_rows(R[ci], mat_id, 3, n_mats, stride=5)
+            for ci in range(C)]
+
+    shadow_ct = jnp.zeros((SUB, 128), jnp.float32)
+
+    # ---- NEE with IMMEDIATE shadow resolution (K2+K3 fused)
+    if nee_enabled:
+        inv_ls = 1.0 / ls
+        for si in range(ls):
+            u_pick = _tile(u_ref[3 * si, :])
+            u1 = _tile(u_ref[3 * si + 1, :])
+            u2 = _tile(u_ref[3 * si + 2, :])
+            if p_env > 0.0:
+                chose_env = u_pick < p_env
+                u_pick2 = jnp.where(chose_env, u_pick / max(p_env, 1e-12),
+                                    (u_pick - p_env) / max(1.0 - p_env, 1e-12))
+                u_pick2 = jnp.clip(u_pick2, 0.0, 1.0 - 1e-7)
+            else:
+                chose_env = jnp.zeros((SUB, 128), bool)
+                u_pick2 = u_pick
+            li = jnp.minimum(jnp.floor(u_pick2 * max(n_lights, 1)),
+                             float(max(n_lights, 1) - 1))
+
+            def lrow(row):
+                acc_l = jnp.zeros((SUB, 128), jnp.float32)
+                for l in range(max(n_lights, 1)):
+                    acc_l = acc_l + jnp.where(li == l, light_tab[row, l], 0.0)
+                return acc_l
+
+            lpa = V3(lrow(_L_PA), lrow(_L_PA + 1), lrow(_L_PA + 2))
+            lpb = V3(lrow(_L_PB), lrow(_L_PB + 1), lrow(_L_PB + 2))
+            lpc = V3(lrow(_L_PC), lrow(_L_PC + 1), lrow(_L_PC + 2))
+            lp_type = lrow(_L_PTYPE)
+            l_area = lrow(_L_AREA)
+            l_mat = lrow(_L_MAT)
+            l_mtype = lrow(_L_MTYPE)
+            l_side = lrow(_L_SIDE)
+            l_sharp = lrow(_L_SHARP)
+            lp, ln = _sample_surface_light(lp_type, lpa, lpb, lpc, u1, u2)
+            area_pdf = 1.0 / jnp.maximum(l_area, 1e-20)
+            to_l = lp - point
+            dist2 = jnp.maximum(cmath.length_squared(to_l), 1e-12)
+            dist = jnp.sqrt(dist2)
+            dir_l = to_l.scale(1.0 / dist)
+            cos_l = cmath.dot(ln, -dir_l)
+            lp_pdf = 1.0 / float(max(n_lights, 1))
+            sa_pdf_light = (1.0 - p_env) * lp_pdf * area_pdf * jnp.where(
+                jnp.abs(cos_l) > 0.0, dist2 / jnp.maximum(jnp.abs(cos_l), 1e-30), 0.0)
+            if p_env > 0.0:
+                env_d_uv = cmath.uv_to_direction(u1, u2)
+                ri = c["env_rot_inv"]
+                env_dir = V3(
+                    ri[0] * env_d_uv.x + ri[1] * env_d_uv.y + ri[2] * env_d_uv.z,
+                    ri[3] * env_d_uv.x + ri[4] * env_d_uv.y + ri[5] * env_d_uv.z,
+                    ri[6] * env_d_uv.x + ri[7] * env_d_uv.y + ri[8] * env_d_uv.z,
+                )
+                jac_s = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * u2) + 0.001
+                sa_pdf_env = (1.0 / jac_s) * p_env
+                nee_dir = cmath.where(chose_env, env_dir, dir_l)
+                nee_pdf = jnp.where(chose_env, sa_pdf_env, sa_pdf_light)
+                nee_tmax = jnp.where(chose_env, RAY_TMAX, dist * 0.99)
+            else:
+                nee_dir = dir_l
+                nee_pdf = sa_pdf_light
+                nee_tmax = dist * 0.99
+            wo_local = cmath.to_local(tgt, btg, normal, nee_dir)
+            max_le = jnp.zeros((SUB, 128), jnp.float32)
+            max_thr = jnp.zeros((SUB, 128), jnp.float32)
+            contribs = []
+            pdf_s0 = None
+            for ci in range(C):
+                f_ci, pdf_ci = _bsdf_eval_lane(
+                    mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
+                    refl[ci], wi_local, wo_local, TransportMode.Radiance,
+                    has_ggx=c["has_ggx"])
+                if ci == 0:
+                    pdf_s0 = pdf_ci
+                spd_l = _sel_rows(R[ci], l_mat, 4, n_mats, stride=5)
+                le_inst = _emission_value(spd_l, l_mtype, l_side, l_sharp,
+                                          cos_l, has_sharp=c["has_sharp"])
+                if p_env > 0.0:
+                    env_e_s = _tile(R[ci][env_row, :])
+                    le_ci = jnp.where(chose_env, env_e_s, le_inst)
+                else:
+                    le_ci = le_inst
+                thr_ci = f_ci * jnp.abs(wo_local.z)
+                max_le = jnp.maximum(max_le, le_ci)
+                max_thr = jnp.maximum(max_thr, thr_ci)
+                contribs.append((thr_ci, le_ci))
+            worth = (at_surface & (max_le > 0.0) & (nee_pdf > 1e-12)
+                     & (max_thr > 0.0))
+            w_nee = _balance(nee_pdf, jnp.maximum(pdf_s0, 0.0))
+            so = point + gn.scale(
+                NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9))
+            # shadow sweep INLINE (K3)
+            blocked = _sweep_tiles(chunks, so, nee_dir, nee_tmax, closest=False)
+            ok = worth & ~blocked
+            inv_pdf = jnp.where(nee_pdf > 1e-12,
+                                1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)
+            for ci in range(C):
+                thr_ci, le_ci = contribs[ci]
+                contrib = beta[ci] * thr_ci * le_ci * w_nee * inv_pdf * inv_ls
+                rad[ci] = rad[ci] + jnp.where(ok, contrib, 0.0)
+            shadow_ct = shadow_ct + (at_surface & worth).astype(jnp.float32)
+
+    # ---- BSDF sample + HWSS ratios (as _shade_kernel)
+    u_b = [_tile(u_ref[3 * ls + i, :]) for i in range(3)]
+    wo_lam_s, f_lam_s, pdf_lam_s = cmath.sample_lambertian(refl[0], wi_local,
+                                                           u_b[0], u_b[1])
+    w_lam_s = jnp.minimum(refl[0], 1.0)
+    if c["has_ggx"]:
+        a_g = jnp.maximum(alpha, 1e-4)
+        wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
+            a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3),
+            kappa[0], metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
+            TransportMode.Radiance)
+        is_ggx = mtype == MAT_GGX
+        wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
+        f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
+        ratio_hero = jnp.where(is_ggx, w_ggx_s, w_lam_s)
+    else:
+        wo_local_s = wo_lam_s
+        f_pdf = pdf_lam_s
+        ratio_hero = w_lam_s
+    is_pass = mtype == 4.0
+    f_pdf = jnp.where(is_pass, 0.0, f_pdf)
+    ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
+
+    f_lanes = []
+    for ci in range(C):
+        f_ci, _ = _bsdf_eval_lane(
+            mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
+            refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
+            has_ggx=c["has_ggx"])
+        f_lanes.append(f_ci)
+    hero_f = f_lanes[0]
+    hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
+    inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
+    inv_fpdf = jnp.where(f_pdf > 1e-12, 1.0 / jnp.maximum(f_pdf, 1e-12), 0.0)
+    ratios = [ratio_hero]
+    for ci in range(1, C):
+        stable = ratio_hero * f_lanes[ci] * inv_hero
+        direct = f_lanes[ci] * jnp.abs(wo_local_s.z) * inv_fpdf
+        ratios.append(jnp.where(hero_dead, direct, stable))
+    sample_ok = (f_pdf > 1e-12)
+
+    d_new = cmath.normalize(cmath.to_world(tgt, btg, normal, wo_local_s))
+    o_new = point + gn.scale(NORMAL_OFFSET * jnp.sign(cmath.dot(gn, d_new)))
+
+    # ---- K4: RR + death + respawn (as _finalize_kernel)
+    ratio_best = ratios[0]
+    for ci in range(1, C):
+        ratio_best = jnp.maximum(ratio_best, ratios[ci])
+    sample_ok = sample_ok & (ratio_best > 0.0)
+    u_rr = _tile(u_ref[3 * ls + 3, :])
+    if rr_enabled:
+        rr_on = bounce_ct >= min_bounces
+        p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
+    else:
+        p_cont = jnp.ones((SUB, 128), jnp.float32)
+    survive = u_rr < p_cont
+    inv_pc = 1.0 / jnp.maximum(p_cont, 1e-6)
+    beta_next = []
+    finite_ok = jnp.ones((SUB, 128), bool)
+    for ci in range(C):
+        bn = beta[ci] * jnp.where(sample_ok, ratios[ci] * inv_pc, 0.0)
+        beta_next.append(bn)
+        finite_ok = finite_ok & jnp.isfinite(bn)
+    hit_depth_cap = (bounce_ct + 1.0) >= max_bounces
+    continue_path = (at_surface & sample_ok & survive & ~hit_depth_cap
+                     & finite_ok)
+    if only_direct:
+        continue_path = continue_path & ~(bounce_ct >= 1.0)
+    bounce_ind = continue_path.astype(jnp.float32)
+
+    died = alive & ~continue_path
+    from pathtracer_tpu.core import cie
+
+    xyz = [jnp.zeros((SUB, 128), jnp.float32) for _ in range(3)]
+    for ci in range(C):
+        e = rad[ci] * (wb_span / C)
+        xyz[0] = xyz[0] + e * cie.x_bar(lam[ci])
+        xyz[1] = xyz[1] + e * cie.y_bar(lam[ci])
+        xyz[2] = xyz[2] + e * cie.z_bar(lam[ci])
+    for i in range(3):
+        acc[i] = acc[i] + jnp.where(died, xyz[i], 0.0)
+    done = done + died.astype(jnp.float32)
+    has_work = died & (done < spp)
+    camera_ind = has_work.astype(jnp.float32)
+
+    rnd = [_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)]
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0).astype(jnp.float32) * 128.0
+            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1).astype(jnp.float32)
+            + pl.program_id(0).astype(jnp.float32) * float(TILE))
+    pix = start + gidx
+    px = pix - jnp.floor(pix / width) * width
+    py = jnp.floor(pix / width)
+    film_u = (px + rnd[0]) / width
+    film_v = (py + rnd[1]) / height
+    r_d = jnp.sqrt(rnd[2])
+    phi_d = 2.0 * jnp.pi * rnd[3]
+    dx_l = r_d * jnp.cos(phi_d)
+    dy_l = r_d * jnp.sin(phi_d)
+    if c["cam_blades"] >= 3:
+        bl = float(max(c["cam_blades"], 3))
+        phi_a = jnp.arctan2(dy_l, dx_l)
+        seg = 2.0 * jnp.pi / bl
+        a_ = jnp.mod(phi_a, seg) - seg / 2.0
+        poly = jnp.cos(jnp.pi / bl) / jnp.cos(a_)
+        t_ = min(max(c["cam_sharp"], 0.0), 1.0)
+        r_scale = (1.0 - t_) + t_ * poly
+    else:
+        r_scale = 1.0
+    lx = dx_l * r_scale * c["cam_lens_r"]
+    ly = dy_l * r_scale * c["cam_lens_r"]
+    co = V3(*[jnp.full((SUB, 128), c["cam_origin"][i], jnp.float32) for i in range(3)])
+    cu = c["cam_u"]
+    cv = c["cam_v"]
+    cw = c["cam_w"]
+    o_s = V3(co.x + lx * cu[0] + ly * cv[0],
+             co.y + lx * cu[1] + ly * cv[1],
+             co.z + lx * cu[2] + ly * cv[2])
+    fpx = (film_u * 2.0 - 1.0) * c["cam_half_w"]
+    fpy = (1.0 - film_v * 2.0) * c["cam_half_h"]
+    focal = V3(co.x + c["cam_focal"] * cw[0] + fpx * cu[0] + fpy * cv[0],
+               co.y + c["cam_focal"] * cw[1] + fpx * cu[1] + fpy * cv[1],
+               co.z + c["cam_focal"] * cw[2] + fpx * cu[2] + fpy * cv[2])
+    d_s = cmath.normalize(focal - o_s)
+    offs_lam = [((rnd[4] + ci / C) % 1.0) for ci in range(C)]
+    lam_s = [wb_lo + ol * wb_span for ol in offs_lam]
+
+    cp = continue_path
+    hw = has_work
+    o_out = cmath.where(cp, o_new, cmath.where(hw, o_s, o))
+    d_out = cmath.where(cp, d_new, cmath.where(hw, d_s, d))
+    out_ref[S_O + 0, :] = _flatrow(o_out.x)
+    out_ref[S_O + 1, :] = _flatrow(o_out.y)
+    out_ref[S_O + 2, :] = _flatrow(o_out.z)
+    out_ref[S_D + 0, :] = _flatrow(d_out.x)
+    out_ref[S_D + 1, :] = _flatrow(d_out.y)
+    out_ref[S_D + 2, :] = _flatrow(d_out.z)
+    for ci in range(C):
+        out_ref[S_LAM + ci, :] = _flatrow(jnp.where(hw, lam_s[ci], lam[ci]))
+        out_ref[S_BETA + ci, :] = _flatrow(
+            jnp.where(cp, beta_next[ci], jnp.where(hw, 1.0, beta[ci])))
+        out_ref[S_RAD + ci, :] = _flatrow(jnp.where(died, 0.0, rad[ci]))
+    for ci in range(C, C_LANES):
+        out_ref[S_LAM + ci, :] = state_ref[S_LAM + ci, :]
+        out_ref[S_BETA + ci, :] = state_ref[S_BETA + ci, :]
+        out_ref[S_RAD + ci, :] = state_ref[S_RAD + ci, :]
+    for i in range(3):
+        out_ref[S_ACC + i, :] = _flatrow(acc[i])
+    out_ref[S_DONE, :] = _flatrow(done)
+    out_ref[S_ALIVE, :] = _flatrow((cp | hw).astype(jnp.float32))
+    out_ref[S_BOUNCE, :] = _flatrow(
+        jnp.where(cp, bounce_ct + 1.0, jnp.where(hw, 0.0, bounce_ct)))
+    out_ref[S_PREV_PDF, :] = _flatrow(
+        jnp.where(cp, f_pdf, jnp.where(hw, 0.0, s(S_PREV_PDF))))
+    for row in range(S_PREV_PDF + 1, NS):
+        out_ref[row, :] = state_ref[row, :]
+    out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
+    out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
+    out_ref[O4_CAMERA_CT + 1, :] = _flatrow(shadow_ct)
+    out_ref[O4_CAMERA_CT + 2, :] = _flatrow(env_ct)
+    for row in range(O4_CAMERA_CT + 3, NK4):
+        out_ref[row, :] = jnp.zeros((TILE,), jnp.float32)
+
+
+O4_SHADOW_CT = O4_CAMERA_CT + 1
+O4_ENV_CT = O4_CAMERA_CT + 2
+
+
+def _nu_fused(light_samples):
+    """3 per NEE sample + 3 (bsdf) + 1 (RR) + 5 (respawn), sublane-padded."""
+    return -(-(3 * light_samples + 9) // 8) * 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
+def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
+                interpret):
+    """One bounce round = ONE dispatched program (uniform draw + one fused
+    pallas call + counter reduction)."""
+    import jax.random as jrandom
+
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    interp = pltpu.InterpretParams() if interpret else False
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    n_pad = state.shape[1]
+    ls = settings["light_samples"]
+    nu = _nu_fused(ls)
+    u = jrandom.uniform(jrandom.fold_in(key, it_dev), (nu, n_pad))
+    out = pl.pallas_call(
+        functools.partial(_all_kernel, consts, settings),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            _row_spec(nu),
+            _row_spec(NS),
+            _full_block_spec(dense_tab),
+            _full_block_spec(prim_tab),
+            _full_block_spec(mat_tab),
+            _full_block_spec(light_tab),
+            _full_block_spec(spec_tab),
+        ],
+        out_specs=_row_spec(NK4),
+        out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
+        interpret=interp,
+    )(u, state, dense_tab, prim_tab, mat_tab, light_tab, spec_tab)
+    state_out = out[:NS]
+    counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(out[O4_BOUNCE_CT]))
+    counters = counters.at[prof.SHADOW_RAYS].add(jnp.sum(out[O4_SHADOW_CT]))
+    counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum(out[O4_CAMERA_CT]))
+    counters = counters.at[prof.ENV_HITS].add(jnp.sum(out[O4_ENV_CT]))
+    return state_out, counters, it_dev + 1
