@@ -1160,9 +1160,12 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
-    # fused single-dispatch step by default; PT_MEGA_SPLIT=1 selects the
-    # 5-program pipeline (kept for ablation/debug)
-    step_fn = _mega_step if _os.environ.get("PT_MEGA_SPLIT") else _step_fused
+    # 5-program pipeline by default: the fused single-dispatch kernel is
+    # estimator-identical and passes interpret-mode validation, but its
+    # larger Mosaic body does not finish compiling on the axon tunnel
+    # within 30 min (the split kernels compile in seconds) — opt in with
+    # PT_MEGA_FUSED=1 on toolchains where it compiles
+    step_fn = _step_fused if _os.environ.get("PT_MEGA_FUSED") else _mega_step
     # hard cap: expected rounds ~ spp x mean path length; 8x headroom
     max_iters = int(spp * settings.max_bounces * 8 + 64)
     while it < max_iters:
