@@ -145,3 +145,28 @@ def test_mega_white_furnace():
     center = img[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean()
     corner = np.concatenate([img[:3, :3].ravel(), img[-3:, -3:].ravel()]).mean()
     assert abs(center / corner - 1.0) < 0.05
+
+
+@pytest.mark.slow
+def test_mega_fused_matches_split(cornell, monkeypatch):
+    """The fused single-dispatch kernel and the 5-program pipeline are the
+    same estimator (different uniform streams): counters within 5%, film
+    means within MC noise."""
+    w = h = 48
+    spp = 8
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=6, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    monkeypatch.delenv("PT_MEGA_FUSED", raising=False)
+    acc_s, c_s = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(21), interpret=True)
+    monkeypatch.setenv("PT_MEGA_FUSED", "1")
+    acc_f, c_f = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(22), interpret=True)
+    c_s, c_f = np.asarray(c_s), np.asarray(c_f)
+    nz = c_s > 0
+    np.testing.assert_allclose(c_f[nz], c_s[nz], rtol=0.05)
+    ms = np.asarray(acc_s).mean(axis=0) / spp
+    mf = np.asarray(acc_f).mean(axis=0) / spp
+    np.testing.assert_allclose(mf, ms, rtol=0.25)
+    assert np.isfinite(np.asarray(acc_f)).all()
