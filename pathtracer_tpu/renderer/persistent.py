@@ -103,6 +103,16 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
             return jnp.reshape(film, (height, width, 3)), profile, elapsed
     n_pix = width * height
     batch_n = pixel_batch or n_pix
+    # auto-batch large XLA-path wavefronts: full-film 1M+-lane programs for
+    # mesh scenes crash the tunnel's TPU worker (round-2 gem finding);
+    # 583k-lane batches run reliably. Mega-path renders above never hit
+    # this (their lane count rides the kernel grid, not one XLA program).
+    if pixel_batch is None and n_pix > 583_200 and \
+            jax.devices()[0].platform in ("tpu", "axon"):
+        for cand in (2, 3, 4, 5, 6, 8):
+            if n_pix % cand == 0 and n_pix // cand <= 583_200:
+                batch_n = n_pix // cand
+                break
     assert n_pix % batch_n == 0
     t0 = time.perf_counter()
     films = []
