@@ -46,15 +46,36 @@ def check_cornell_golden(results):
                                   key=jax.random.PRNGKey(42))
     film = np.asarray(film)
     assert np.isfinite(film).all(), "cornell film has non-finite pixels"
-    golden = np.asarray(read_exr("data/golden/cornell_128.exr")[0])
-    # golden is RGB(linear Rec709); our film is XYZ — compare via the same
-    # conversion the golden was written with
-    from pathtracer_tpu.core.cie import XYZ_TO_REC709
-    rgb = film @ np.asarray(XYZ_TO_REC709).T
-    rmse = float(np.sqrt(np.mean((rgb - golden) ** 2)) /
-                 max(np.sqrt(np.mean(golden ** 2)), 1e-9))
-    results["cornell_golden_rel_rmse"] = round(rmse, 4)
-    assert rmse < 0.03, f"cornell golden RMSE {rmse:.4f} >= 3%"
+    # golden stores the raw XYZ film; compare like tests/test_golden_cornell
+    # (mean ratio + tonemapped per-pixel RMSE — compare_exr methodology)
+    import jax.numpy as jnp
+
+    from pathtracer_tpu.tonemap import Reinhard1, tonemap_to_rgb
+
+    golden = np.asarray(read_exr("data/golden/cornell_128.exr"))
+    mean_ratio = float(film.mean() / golden.mean())
+    results["cornell_golden_mean_ratio"] = round(mean_ratio, 4)
+    assert abs(mean_ratio - 1.0) < 0.02, f"mean ratio {mean_ratio:.4f}"
+    tm = Reinhard1(key_value=0.18, white_point=1.0, luminance_only=False)
+    da, _ = tonemap_to_rgb(jnp.asarray(film), tm, "Rec709")
+    dg, _ = tonemap_to_rgb(jnp.asarray(golden), tm, "Rec709")
+    da, dg = np.asarray(da), np.asarray(dg)
+    # raw per-pixel tonemapped RMSE at 128 spp is MC-noise-floored at
+    # ~0.085 regardless of integrator path (tools/golden_diag.py: mega and
+    # XLA films measure 0.0847/0.0848 vs golden; seed-vs-seed is 0.112 =
+    # sqrt(2)x) — record it, but assert on the 8x8 box-filtered RMSE,
+    # which averages the noise down ~8x (floor ~0.012) while leaving
+    # systematic shading/MIS bias fully visible.
+    rmse = float(np.sqrt(np.mean((da - dg) ** 2)))
+    results["cornell_golden_tm_rmse"] = round(rmse, 4)
+
+    def box8(a):
+        h, w, c = a.shape
+        return a.reshape(h // 8, 8, w // 8, 8, c).mean(axis=(1, 3))
+
+    brmse = float(np.sqrt(np.mean((box8(da) - box8(dg)) ** 2)))
+    results["cornell_golden_box8_rmse"] = round(brmse, 4)
+    assert brmse < 0.03, f"cornell golden box8 RMSE {brmse:.4f}"
     results["cornell_mrays"] = round(prof.total_rays / el / 1e6, 2)
 
 
