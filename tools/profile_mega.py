@@ -1,9 +1,10 @@
-"""Per-kernel timing of the 5-program mega pipeline at 1080p Cornell.
+"""Timing of the 5-program mega pipeline at 1080p Cornell.
 
-Times each dispatched program (K1 closest, K2 shade, K3 any-hit x ls, K4
-finalize) in isolation AND the whole round, with honest value-fetch
-syncs. Also measures raw dispatch overhead (null program) and the
-any-alive sync cost. Run: python tools/profile_mega.py [n_lanes]
+Honest fetch = np.asarray of a tiny PRE-JITTED reduction (a fresh jit per
+fetch costs ~420 ms of host-side retrace and swamps everything).
+Measures: raw fetch RTT, any-alive sync, marginal per-round cost at
+full occupancy, and a production-loop replica reporting round count +
+segment times. Run: python tools/profile_mega.py [n_lanes]
 """
 import os
 import sys
@@ -23,9 +24,6 @@ def main():
     from pathtracer_tpu.parsing.construct import construct_world
     from pathtracer_tpu.integrator.pt import PTSettings
     from pathtracer_tpu.kernels import megakernel as mk
-    from pathtracer_tpu.kernels.dense import sweep_any_rows, sweep_closest_rows
-    from pathtracer_tpu.prelude import INTERSECTION_TIME_OFFSET, RAY_TMAX
-    from pathtracer_tpu.utils import profile as prof
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1080 * 1080
     b = construct_world("data/scenes/cornell_box.toml",
@@ -40,7 +38,7 @@ def main():
     step = max(mk.TILE, mk.RAY_TILE)
     n_pad = -(-n // step) * step
     settings_d = dict(
-        c_lanes=mk.C_LANES, light_samples=2, spp=12.0, max_bounces=12.0,
+        c_lanes=1, light_samples=2, spp=12.0, max_bounces=12.0,
         min_bounces=1.0, russian_roulette=True, only_direct=False,
         width=1080.0, height=1080.0, start=0.0,
         wb_lo=float(wb.lower), wb_span=float(wb.span))
@@ -49,84 +47,85 @@ def main():
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
             scene.spec_tab)
     key = jax.random.PRNGKey(0)
-    state, counters = mk._mega_init(cam, key, settings_t, n, n_pad)
-    it_dev = jnp.int32(0)
+    state0, counters0 = mk._mega_init(cam, key, settings_t, n, n_pad)
     k_iter = sampling.fold(key, 2)
-    ls = 2
-    dense_tab = scene.dense_tab
+
+    red = jax.jit(lambda a: jnp.sum(a))
+    _ = np.asarray(red(state0))
 
     def fetch(x):
-        return np.asarray(jax.jit(lambda a: jnp.sum(a))(x))
+        return np.asarray(red(x))
 
-    def timed(label, fn, reps=10):
-        r = fn()
-        _ = fetch(r)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            r = fn()
-            _ = fetch(r)
-        el = (time.perf_counter() - t0) / reps
-        print(f"{label:28s} {el * 1e3:8.2f} ms (incl. 1 value-fetch sync)",
-              flush=True)
-        return r, el
+    # raw RTT: fetch a tiny committed array repeatedly
+    tiny = jnp.float32(1.0) + 0.0
+    _ = np.asarray(tiny)
+    t0 = time.perf_counter()
+    for _ in range(20):
+        _ = np.asarray(tiny)
+    rtt = (time.perf_counter() - t0) / 20
+    print(f"tiny np.asarray RTT: {rtt * 1e3:.2f} ms", flush=True)
 
-    # warm one full round first (also gives k2/tp/blks for isolation)
-    tp = sweep_closest_rows(state, dense_tab, row0=mk.S_O,
-                            tmin_c=INTERSECTION_TIME_OFFSET, tmax_c=RAY_TMAX,
-                            src_rows=mk.NS)
-    k2 = mk._k2_call(state, tp, tabs, k_iter, it_dev, settings_t, consts_t,
-                     False)
-    nk2 = mk._k2_rows(ls)
-    blks = [sweep_any_rows(k2, dense_tab, row0=mk.O_NEE + 12 * si,
-                           tmin_c=INTERSECTION_TIME_OFFSET,
-                           tmax_row=mk.O_NEE + 12 * si + 6, src_rows=nk2)
-            for si in range(ls)]
-    _ = mk._k4_call(state, k2, blks, counters, k_iter, it_dev, settings_t,
-                    consts_t, False)
-
-    null = jax.jit(lambda a: a + 1.0)
-    _, t_null = timed("null program", lambda: null(jnp.float32(1.0)))
-    _, t_k1 = timed("K1 closest sweep", lambda: sweep_closest_rows(
-        state, dense_tab, row0=mk.S_O, tmin_c=INTERSECTION_TIME_OFFSET,
-        tmax_c=RAY_TMAX, src_rows=mk.NS))
-    _, t_k2 = timed("K2 shade", lambda: mk._k2_call(
-        state, tp, tabs, k_iter, it_dev, settings_t, consts_t, False))
-    _, t_k3 = timed("K3 any-hit (one)", lambda: sweep_any_rows(
-        k2, dense_tab, row0=mk.O_NEE, tmin_c=INTERSECTION_TIME_OFFSET,
-        tmax_row=mk.O_NEE + 6, src_rows=nk2))
-    _, t_k4 = timed("K4 finalize", lambda: mk._k4_call(
-        state, k2, blks, counters, k_iter, it_dev, settings_t, consts_t,
-        False)[0])
-
-    def full_round():
-        s2, c2, i2 = mk._mega_step(state, counters, it_dev, tabs, k_iter,
-                                   settings_t, consts_t, False)
-        return s2
-
-    _, t_round = timed("full round (5 dispatches)", full_round)
-    sum_isolated = t_k1 + t_k2 + ls * t_k3 + t_k4
-    print(f"\nsum of isolated kernels: {sum_isolated * 1e3:.2f} ms "
-          f"(each incl. ~{t_null * 1e3:.1f} ms sync)")
-    print(f"full round: {t_round * 1e3:.2f} ms — overlap gain "
-          f"{(sum_isolated - t_round) * 1e3:.2f} ms")
-
-    # any-alive host sync
+    # any-alive sync
+    _ = bool(np.asarray(mk._any_alive(state0)))
     t0 = time.perf_counter()
     for _ in range(10):
-        _ = bool(np.asarray(mk._any_alive(state)))
-    print(f"any-alive sync: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms")
+        _ = bool(np.asarray(mk._any_alive(state0)))
+    print(f"any-alive sync: {(time.perf_counter() - t0) / 10 * 1e3:.2f} ms",
+          flush=True)
 
-    # N back-to-back rounds without sync (pipelining visibility)
-    for nr in (6, 12):
-        s, c, i = state, counters, it_dev
+    # marginal per-round device cost at full occupancy: N rounds then one
+    # fetch; compare different N (state resets each trial so occupancy
+    # stays full-ish for the first rounds)
+    def run_rounds(nr):
+        s, c, i = state0, counters0, jnp.int32(0)
         t0 = time.perf_counter()
         for _ in range(nr):
             s, c, i = mk._mega_step(s, c, i, tabs, k_iter, settings_t,
                                     consts_t, False)
         _ = fetch(s)
+        return time.perf_counter() - t0
+
+    _ = run_rounds(2)  # warm all programs
+    for nr in (1, 2, 4, 8, 16, 32):
+        el = run_rounds(nr)
+        print(f"{nr:3d} rounds + fetch: {el * 1e3:8.1f} ms "
+              f"({el / nr * 1e3:6.2f} ms/round)", flush=True)
+
+    # host-side dispatch cost: issue N rounds WITHOUT any fetch
+    for nr in (8, 32):
+        s, c, i = state0, counters0, jnp.int32(0)
+        t0 = time.perf_counter()
+        for _ in range(nr):
+            s, c, i = mk._mega_step(s, c, i, tabs, k_iter, settings_t,
+                                    consts_t, False)
         el = time.perf_counter() - t0
-        print(f"{nr} rounds + 1 sync: {el * 1e3:.1f} ms "
-              f"({el / nr * 1e3:.2f} ms/round)", flush=True)
+        print(f"issue-only {nr} rounds: {el * 1e3:8.1f} ms "
+              f"({el / nr * 1e3:6.2f} ms/round host-side)", flush=True)
+        _ = fetch(s)
+
+    # production replica: full render loop with segment timings
+    state, counters = state0, counters0
+    it_dev = jnp.int32(0)
+    it = 0
+    t_start = time.perf_counter()
+    while it < 1216:
+        t0 = time.perf_counter()
+        for _ in range(mk.ALIVE_CHECK_EVERY):
+            state, counters, it_dev = mk._mega_step(
+                state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
+                False)
+            it += 1
+        t_issue = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        alive = bool(np.asarray(mk._any_alive(state)))
+        t_sync = time.perf_counter() - t0
+        print(f"seg @{it:3d}: issue {t_issue * 1e3:7.1f} ms, "
+              f"alive-sync {t_sync * 1e3:7.1f} ms, alive={alive}", flush=True)
+        if not alive:
+            break
+    total = time.perf_counter() - t_start
+    rays = float(np.asarray(counters0 := counters)[0:4].sum())
+    print(f"TOTAL: {total:.2f}s, rounds={it}", flush=True)
 
 
 if __name__ == "__main__":
