@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pathtracer_tpu.geometry.soa import (
+    PRIM_DISK,
     PRIM_RECT,
     PRIM_SPHERE,
     PRIM_TRIANGLE,
@@ -102,106 +103,151 @@ def _prim_chunks(tab_ref):
     return chunks
 
 
-def _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max):
+def _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max, present=None):
     """t for a [1, GW] ray tile vs a [PB, 1] prim chunk -> [PB, GW].
 
-    Mirrors soa._chunk_ts / _t_* componentwise (identity transforms)."""
+    Mirrors soa._chunk_ts / _t_* componentwise (identity transforms).
+
+    `present` is a STATIC (tri, sphere, rect, disk) presence tuple for the
+    chunk (None = all). Scene bakes sort prims by type, so most chunks are
+    homogeneous and compile only one intersection routine — the sweeps are
+    VPU-compute-bound, so absent-type math is pure waste."""
     ptype = ch["ptype"]
     valid = ch["valid"] > 0.5
     pax, pay, paz = ch["pax"], ch["pay"], ch["paz"]
     pbx, pby, pbz = ch["pbx"], ch["pby"], ch["pbz"]
     pcx, pcy, pcz = ch["pcx"], ch["pcy"], ch["pcz"]
     inf = jnp.inf
+    has_tri, has_sph, has_rect, has_disk = present or (True,) * 4
+    if not (has_tri or has_sph or has_rect or has_disk):
+        return jnp.full((ptype.shape[0], ox.shape[1]), inf, jnp.float32)
 
-    # ---- watertight triangle (soa._t_triangle): cyclic axis permutation by
-    # where-masks, shear into ray space, signed 2-D edge functions
-    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
-    kz_x = (ax > ay) & (ax > az)
-    kz_y = ~kz_x & (ay > az)
+    t_tri = t_sph = t_rec = t_dsk = None
 
-    def cyc(vx, vy, vz):
-        c_kz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
-        c_kx = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
-        c_ky = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
-        return c_kx, c_ky, c_kz
+    if has_tri:
+        # ---- watertight triangle (soa._t_triangle): cyclic axis
+        # permutation by where-masks, shear into ray space, edge functions
+        ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
+        kz_x = (ax > ay) & (ax > az)
+        kz_y = ~kz_x & (ay > az)
 
-    dx_, dy_, dz_ = cyc(dx, dy, dz)
-    inv_dz = 1.0 / jnp.where(jnp.abs(dz_) > 1e-30, dz_, 1.0)
-    sx = -dx_ * inv_dz
-    sy = -dy_ * inv_dz
+        def cyc(vx, vy, vz):
+            c_kz = jnp.where(kz_x, vx, jnp.where(kz_y, vy, vz))
+            c_kx = jnp.where(kz_x, vy, jnp.where(kz_y, vz, vx))
+            c_ky = jnp.where(kz_x, vz, jnp.where(kz_y, vx, vy))
+            return c_kx, c_ky, c_kz
 
-    def project(vx, vy, vz):
-        px, py, pz = cyc(vx - ox, vy - oy, vz - oz)
-        return px + sx * pz, py + sy * pz, pz * inv_dz
+        dx_, dy_, dz_ = cyc(dx, dy, dz)
+        inv_dz = 1.0 / jnp.where(jnp.abs(dz_) > 1e-30, dz_, 1.0)
+        sx = -dx_ * inv_dz
+        sy = -dy_ * inv_dz
 
-    x0, y0, z0 = project(pax, pay, paz)
-    x1, y1, z1 = project(pbx, pby, pbz)
-    x2, y2, z2 = project(pcx, pcy, pcz)
-    e0 = x1 * y2 - y1 * x2
-    e1 = x2 * y0 - y2 * x0
-    e2 = x0 * y1 - y0 * x1
-    det = e0 + e1 + e2
-    inside = ~(((e0 < 0) | (e1 < 0) | (e2 < 0)) & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
-    t_scaled = e0 * z0 + e1 * z1 + e2 * z2
-    t_tri = t_scaled / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
-    ok_tri = inside & (jnp.abs(det) > 1e-30) & (t_tri > t_min) & (t_tri < t_max)
-    t_tri = jnp.where(ok_tri, t_tri, inf)
+        def project(vx, vy, vz):
+            px, py, pz = cyc(vx - ox, vy - oy, vz - oz)
+            return px + sx * pz, py + sy * pz, pz * inv_dz
 
-    # ---- sphere (soa._t_sphere): two-root quadratic
-    ocx, ocy, ocz = ox - pax, oy - pay, oz - paz
-    a = dx * dx + dy * dy + dz * dz
-    half_b = ocx * dx + ocy * dy + ocz * dz
-    r = pbx
-    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
-    disc = half_b * half_b - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    inv_a = 1.0 / jnp.maximum(a, 1e-20)
-    t0 = (-half_b - sq) * inv_a
-    t1 = (-half_b + sq) * inv_a
-    t0_ok = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)
-    t1_ok = (disc > 0.0) & (t1 > t_min) & (t1 < t_max)
-    t_sph = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, inf))
+        x0, y0, z0 = project(pax, pay, paz)
+        x1, y1, z1 = project(pbx, pby, pbz)
+        x2, y2, z2 = project(pcx, pcy, pcz)
+        e0 = x1 * y2 - y1 * x2
+        e1 = x2 * y0 - y2 * x0
+        e2 = x0 * y1 - y0 * x1
+        det = e0 + e1 + e2
+        inside = ~(((e0 < 0) | (e1 < 0) | (e2 < 0))
+                   & ((e0 > 0) | (e1 > 0) | (e2 > 0)))
+        t_scaled = e0 * z0 + e1 * z1 + e2 * z2
+        t_tri = t_scaled / jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
+        ok_tri = (inside & (jnp.abs(det) > 1e-30) & (t_tri > t_min)
+                  & (t_tri < t_max))
+        t_tri = jnp.where(ok_tri, t_tri, inf)
 
-    # ---- rect (soa._t_rect): pa center, pb/pc half-edges
-    nx = pby * pcz - pbz * pcy
-    ny = pbz * pcx - pbx * pcz
-    nz = pbx * pcy - pby * pcx
-    nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
-    nx, ny, nz = nx / nlen, ny / nlen, nz / nlen
-    denom_r = dx * nx + dy * ny + dz * nz
-    t_r = ((pax - ox) * nx + (pay - oy) * ny + (paz - oz) * nz) / jnp.where(
-        jnp.abs(denom_r) > 1e-12, denom_r, 1.0)
-    rx = ox + t_r * dx - pax
-    ry = oy + t_r * dy - pay
-    rz = oz + t_r * dz - paz
-    bb = jnp.maximum(pbx * pbx + pby * pby + pbz * pbz, 1e-20)
-    cc = jnp.maximum(pcx * pcx + pcy * pcy + pcz * pcz, 1e-20)
-    ra = (rx * pbx + ry * pby + rz * pbz) / bb
-    rb_ = (rx * pcx + ry * pcy + rz * pcz) / cc
-    ok_r = ((jnp.abs(denom_r) > 1e-12) & (jnp.abs(ra) <= 1.0)
-            & (jnp.abs(rb_) <= 1.0) & (t_r > t_min) & (t_r < t_max))
-    t_rec = jnp.where(ok_r, t_r, inf)
+    if has_sph:
+        # ---- sphere (soa._t_sphere): two-root quadratic
+        ocx, ocy, ocz = ox - pax, oy - pay, oz - paz
+        a = dx * dx + dy * dy + dz * dz
+        half_b = ocx * dx + ocy * dy + ocz * dz
+        r = pbx
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = half_b * half_b - a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        inv_a = 1.0 / jnp.maximum(a, 1e-20)
+        t0 = (-half_b - sq) * inv_a
+        t1 = (-half_b + sq) * inv_a
+        t0_ok = (disc > 0.0) & (t0 > t_min) & (t0 < t_max)
+        t1_ok = (disc > 0.0) & (t1 > t_min) & (t1 < t_max)
+        t_sph = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, inf))
 
-    # ---- disk (soa._t_disk): pa center, pb unit normal, pc[0] radius
-    denom_d = dx * pbx + dy * pby + dz * pbz
-    t_d = ((pax - ox) * pbx + (pay - oy) * pby + (paz - oz) * pbz) / jnp.where(
-        jnp.abs(denom_d) > 1e-12, denom_d, 1.0)
-    qx = ox + t_d * dx - pax
-    qy = oy + t_d * dy - pay
-    qz = oz + t_d * dz - paz
-    r2 = qx * qx + qy * qy + qz * qz
-    rad = pcx
-    ok_d = (jnp.abs(denom_d) > 1e-12) & (r2 <= rad * rad) & (t_d > t_min) & (t_d < t_max)
-    t_dsk = jnp.where(ok_d, t_d, inf)
+    if has_rect:
+        # ---- rect (soa._t_rect): pa center, pb/pc half-edges
+        nx = pby * pcz - pbz * pcy
+        ny = pbz * pcx - pbx * pcz
+        nz = pbx * pcy - pby * pcx
+        nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-20))
+        nx, ny, nz = nx / nlen, ny / nlen, nz / nlen
+        denom_r = dx * nx + dy * ny + dz * nz
+        t_r = ((pax - ox) * nx + (pay - oy) * ny + (paz - oz) * nz) / jnp.where(
+            jnp.abs(denom_r) > 1e-12, denom_r, 1.0)
+        rx = ox + t_r * dx - pax
+        ry = oy + t_r * dy - pay
+        rz = oz + t_r * dz - paz
+        bb = jnp.maximum(pbx * pbx + pby * pby + pbz * pbz, 1e-20)
+        cc = jnp.maximum(pcx * pcx + pcy * pcy + pcz * pcz, 1e-20)
+        ra = (rx * pbx + ry * pby + rz * pbz) / bb
+        rb_ = (rx * pcx + ry * pcy + rz * pcz) / cc
+        ok_r = ((jnp.abs(denom_r) > 1e-12) & (jnp.abs(ra) <= 1.0)
+                & (jnp.abs(rb_) <= 1.0) & (t_r > t_min) & (t_r < t_max))
+        t_rec = jnp.where(ok_r, t_r, inf)
 
-    t = jnp.where(
-        ptype == PRIM_TRIANGLE, t_tri,
-        jnp.where(ptype == PRIM_SPHERE, t_sph,
-                  jnp.where(ptype == PRIM_RECT, t_rec, t_dsk)))
+    if has_disk:
+        # ---- disk (soa._t_disk): pa center, pb unit normal, pc[0] radius
+        denom_d = dx * pbx + dy * pby + dz * pbz
+        t_d = ((pax - ox) * pbx + (pay - oy) * pby
+               + (paz - oz) * pbz) / jnp.where(
+            jnp.abs(denom_d) > 1e-12, denom_d, 1.0)
+        qx = ox + t_d * dx - pax
+        qy = oy + t_d * dy - pay
+        qz = oz + t_d * dz - paz
+        r2 = qx * qx + qy * qy + qz * qz
+        rad = pcx
+        ok_d = ((jnp.abs(denom_d) > 1e-12) & (r2 <= rad * rad)
+                & (t_d > t_min) & (t_d < t_max))
+        t_dsk = jnp.where(ok_d, t_d, inf)
+
+    t = None
+    for flag, tt, code in ((has_tri, t_tri, PRIM_TRIANGLE),
+                           (has_sph, t_sph, PRIM_SPHERE),
+                           (has_rect, t_rec, PRIM_RECT),
+                           (has_disk, t_dsk, PRIM_DISK)):
+        if not flag:
+            continue
+        t = tt if t is None else jnp.where(ptype == code, tt, t)
     return jnp.where(valid, t, inf)
 
 
-def _closest_kernel(rays_ref, tab_ref, out_ref):
+def chunk_type_presence(ptype, valid, block):
+    """Host-side static (tri, sphere, rect, disk) presence per `block`-prim
+    chunk of a (padded) type array; empty/padding chunks are all-False and
+    compile to nothing."""
+    import numpy as np
+
+    ptype = np.asarray(ptype)
+    valid = np.asarray(valid)
+    p_pad = -(-len(ptype) // block) * block
+    pres = []
+    for c0 in range(0, p_pad, block):
+        tp = ptype[c0:c0 + block][valid[c0:c0 + block] > 0]
+        pres.append((bool((tp == PRIM_TRIANGLE).any()),
+                     bool((tp == PRIM_SPHERE).any()),
+                     bool((tp == PRIM_RECT).any()),
+                     bool((tp == PRIM_DISK).any())))
+    return tuple(pres)
+
+
+def _pres(chunk_types, pc):
+    return chunk_types[pc] if chunk_types is not None else None
+
+
+def _closest_kernel(chunk_types, rays_ref, tab_ref, out_ref):
     chunks = _prim_chunks(tab_ref)
 
     for rg in range(RAY_TILE // GW):
@@ -217,7 +263,8 @@ def _closest_kernel(rays_ref, tab_ref, out_ref):
         best_t = jnp.full((GW,), jnp.inf, jnp.float32)
         best_id = jnp.full((GW,), jnp.inf, jnp.float32)
         for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)  # [PB, GW]
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                         present=_pres(chunk_types, pc))  # [PB, GW]
             ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
                    .astype(jnp.float32) + float(pc * PB))
             ct = jnp.min(t, axis=0)  # [GW]
@@ -230,7 +277,7 @@ def _closest_kernel(rays_ref, tab_ref, out_ref):
         out_ref[1, sl] = jnp.where(hit, best_id, -1.0)
 
 
-def _any_kernel(rays_ref, tab_ref, out_ref):
+def _any_kernel(chunk_types, rays_ref, tab_ref, out_ref):
     chunks = _prim_chunks(tab_ref)
 
     for rg in range(RAY_TILE // GW):
@@ -244,8 +291,9 @@ def _any_kernel(rays_ref, tab_ref, out_ref):
         t_min = rays_ref[6, sl][None, :]
         t_max = rays_ref[7, sl][None, :]
         blocked = jnp.zeros((GW,), jnp.float32)
-        for ch in chunks:
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        for pc, ch in enumerate(chunks):
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                         present=_pres(chunk_types, pc))
             blocked = jnp.maximum(
                 blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
         out_ref[0, sl] = blocked
@@ -264,11 +312,11 @@ def _pack_rays(o, d, t_min, t_max):
     return rays, n_pad
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_closest(rays, tab, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk_types"))
+def _sweep_closest(rays, tab, interpret=False, chunk_types=None):
     n_pad = rays.shape[1]
     return pl.pallas_call(
-        _closest_kernel,
+        functools.partial(_closest_kernel, chunk_types),
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),
@@ -280,11 +328,11 @@ def _sweep_closest(rays, tab, interpret=False):
     )(rays, tab)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _sweep_any(rays, tab, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "chunk_types"))
+def _sweep_any(rays, tab, interpret=False, chunk_types=None):
     n_pad = rays.shape[1]
     return pl.pallas_call(
-        _any_kernel,
+        functools.partial(_any_kernel, chunk_types),
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((8, RAY_TILE), lambda i: (0, i)),
@@ -332,7 +380,8 @@ def pallas_intersect_any_dense(prims: Primitives, o, d, t_min, t_max,
 # consumer can take it as an aligned input without a pad program.
 
 
-def _closest_rows_kernel(row0, tmin_c, tmax_c, src_ref, tab_ref, out_ref):
+def _closest_rows_kernel(row0, tmin_c, tmax_c, chunk_types, src_ref, tab_ref,
+                         out_ref):
     chunks = _prim_chunks(tab_ref)
     for rg in range(RAY_TILE // GW):
         sl = slice(rg * GW, (rg + 1) * GW)
@@ -347,7 +396,8 @@ def _closest_rows_kernel(row0, tmin_c, tmax_c, src_ref, tab_ref, out_ref):
         best_t = jnp.full((GW,), jnp.inf, jnp.float32)
         best_id = jnp.full((GW,), jnp.inf, jnp.float32)
         for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                         present=_pres(chunk_types, pc))
             ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
                    .astype(jnp.float32) + float(pc * PB))
             ct = jnp.min(t, axis=0)
@@ -362,7 +412,8 @@ def _closest_rows_kernel(row0, tmin_c, tmax_c, src_ref, tab_ref, out_ref):
             out_ref[r, sl] = jnp.zeros((GW,), jnp.float32)
 
 
-def _any_rows_kernel(row0, tmin_c, tmax_row, src_ref, tab_ref, out_ref):
+def _any_rows_kernel(row0, tmin_c, tmax_row, chunk_types, src_ref, tab_ref,
+                     out_ref):
     """tmax_row: row index of per-ray tmax within src (or None -> RAY_TMAX
     constant is not needed here; megakernel NEE always carries a tmax row)."""
     chunks = _prim_chunks(tab_ref)
@@ -377,8 +428,9 @@ def _any_rows_kernel(row0, tmin_c, tmax_row, src_ref, tab_ref, out_ref):
         t_min = jnp.full((1, GW), tmin_c, jnp.float32)
         t_max = src_ref[tmax_row, sl][None, :]
         blocked = jnp.zeros((GW,), jnp.float32)
-        for ch in chunks:
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max)
+        for pc, ch in enumerate(chunks):
+            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                         present=_pres(chunk_types, pc))
             blocked = jnp.maximum(
                 blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
         out_ref[0, sl] = blocked
@@ -388,12 +440,13 @@ def _any_rows_kernel(row0, tmin_c, tmax_row, src_ref, tab_ref, out_ref):
 
 @functools.partial(jax.jit,
                    static_argnames=("row0", "tmin_c", "tmax_c", "src_rows",
-                                    "interpret"))
+                                    "interpret", "chunk_types"))
 def sweep_closest_rows(src, tab, row0, tmin_c, tmax_c, src_rows,
-                       interpret=False):
+                       interpret=False, chunk_types=None):
     n_pad = src.shape[1]
     return pl.pallas_call(
-        functools.partial(_closest_rows_kernel, row0, tmin_c, tmax_c),
+        functools.partial(_closest_rows_kernel, row0, tmin_c, tmax_c,
+                          chunk_types),
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((src_rows, RAY_TILE), lambda i: (0, i)),
@@ -407,12 +460,13 @@ def sweep_closest_rows(src, tab, row0, tmin_c, tmax_c, src_rows,
 
 @functools.partial(jax.jit,
                    static_argnames=("row0", "tmin_c", "tmax_row", "src_rows",
-                                    "interpret"))
+                                    "interpret", "chunk_types"))
 def sweep_any_rows(src, tab, row0, tmin_c, tmax_row, src_rows,
-                   interpret=False):
+                   interpret=False, chunk_types=None):
     n_pad = src.shape[1]
     return pl.pallas_call(
-        functools.partial(_any_rows_kernel, row0, tmin_c, tmax_row),
+        functools.partial(_any_rows_kernel, row0, tmin_c, tmax_row,
+                          chunk_types),
         grid=(n_pad // RAY_TILE,),
         in_specs=[
             pl.BlockSpec((src_rows, RAY_TILE), lambda i: (0, i)),

@@ -82,6 +82,7 @@ S_O, S_D = 0, 3
 S_LAM, S_BETA, S_RAD = 6, 10, 14
 S_ACC = 18
 S_DONE, S_ALIVE, S_BOUNCE, S_PREV_PDF = 21, 22, 23, 24
+S_PIX = 25  # owning pixel index (f32; lanes survive compaction permutations)
 NS = 32
 
 # ---- K2 output rows [NK2, N]
@@ -172,6 +173,8 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     (np.asarray) and all packing happens in NumPy — on the axon tunnel each
     eager jnp op is its own 20-40 s remote compile, which made the first
     version of this bake look like a Mosaic hang."""
+    from pathtracer_tpu.kernels.dense import chunk_type_presence
+
     w = world
     prims = w.prims
     p = prims.count
@@ -179,6 +182,22 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     h = {name: np.asarray(getattr(prims, name))
          for name in ("ptype", "valid", "pa", "pb", "pc", "na", "nb", "nc",
                       "material_id", "mat_kind", "area")}
+    # sort prims by type: the sweep kernels compile per-chunk intersection
+    # routines only for types PRESENT in a chunk (dense._chunk_t), so
+    # homogeneous chunks cut the VPU flops of the compute-bound sweeps.
+    # Prim ids are self-consistent within the megakernel (sweep ids index
+    # the identically-permuted prim_tab); lights store values, not ids.
+    order = np.argsort(h["ptype"][:p], kind="stable")
+    inv_order = np.empty(p, np.int64)
+    inv_order[order] = np.arange(p)
+    h = {k: v[order] for k, v in h.items()}
+    p_dense = -(-p // 32) * 32
+    pt_d = np.zeros(p_dense, np.float32)
+    vd_d = np.zeros(p_dense, np.float32)
+    pt_d[:p] = h["ptype"]
+    vd_d[:p] = h["valid"]
+    ct8 = chunk_type_presence(pt_d, vd_d, 8)
+    ct32 = chunk_type_presence(pt_d, vd_d, 32)
     tab = np.zeros((_NP_ROWS, p_pad), np.float32)
     tab[0, :p] = h["ptype"]
     tab[1, :p] = h["valid"]
@@ -253,7 +272,7 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     nl = int(w.n_lights)
     lt = np.zeros((_NL_ROWS, 128), np.float32)
     for l in range(nl):
-        pid = int(lights[l])
+        pid = int(inv_order[int(lights[l])])  # world ids are pre-sort
         for i in range(3):
             lt[_L_PA + i, l] = h["pa"][pid, i]
             lt[_L_PB + i, l] = h["pb"][pid, i]
@@ -271,7 +290,12 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     p_env = float(np.clip(np.asarray(w.env_sampling_probability), 0.0, 1.0))
     if nl == 0:
         p_env = 1.0  # pt_regen.py:49 — no instance lights -> env-only NEE
+    import os as _os_
+
     consts = dict(
+        spec_f32=bool(_os_.environ.get("PT_MEGA_SPEC_F32")),
+        ct8=ct8,
+        ct32=ct32,
         n_mats=m,
         n_lights=nl,
         p_env=p_env,
@@ -378,18 +402,34 @@ def _cie_xyz(lam):
     return cie.x_bar(lam), cie.y_bar(lam), cie.z_bar(lam)
 
 
-def _soft_onehot(lam, lam_lo, lam_hi):
-    """[SUB,128] λ -> [512, TILE] lerp-weight one-hot (spectral.evaluate
-    semantics: u clipped to [0, RES-1-1e-4], linear between knots)."""
+KNOT_CHUNK = 128
+
+
+def _spectral_fetch(spec, lam, lam_lo, lam_hi, prec):
+    """[SUB,128] λ -> [C_pad, TILE]: every curve row evaluated at each
+    lane's λ (spectral.evaluate semantics: u clipped to [0, RES-1-1e-4],
+    linear between knots) via lerp-weight soft-one-hot MXU matmuls.
+
+    Knot-CHUNKED ([KNOT_CHUNK, TILE] weight tiles accumulated over 4
+    chunks instead of one [512, TILE] block) so HWSS's four λ lanes fit
+    Mosaic's 16 MB scoped-VMEM budget; identical products, f32 sums."""
     u = (lam - lam_lo) / (lam_hi - lam_lo) * (SPEC_RES - 1)
     u = jnp.clip(u, 0.0, SPEC_RES - 1 - 1e-4)
     i0 = jnp.floor(u)
     frac = u - i0
     i0_row = _flatrow(i0)[None, :]
     frac_row = _flatrow(frac)[None, :]
-    knots = jax.lax.broadcasted_iota(jnp.int32, (SPEC_RES, TILE), 0).astype(jnp.float32)
-    return jnp.where(knots == i0_row, 1.0 - frac_row,
-                     jnp.where(knots == i0_row + 1.0, frac_row, 0.0))
+    R = None
+    for k0 in range(0, SPEC_RES, KNOT_CHUNK):
+        knots = (jax.lax.broadcasted_iota(jnp.int32, (KNOT_CHUNK, TILE), 0)
+                 .astype(jnp.float32) + float(k0))
+        soft = jnp.where(knots == i0_row, 1.0 - frac_row,
+                         jnp.where(knots == i0_row + 1.0, frac_row, 0.0))
+        part = jax.lax.dot_general(
+            spec[:, k0:k0 + KNOT_CHUNK], soft, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        R = part if R is None else R + part
+    return R
 
 
 def _bsdf_eval_lane(mtype, alpha, metallic, perm, eta_i, eta_o, kappa, refl,
@@ -527,15 +567,16 @@ def _shade_kernel(consts, settings,
     mat_id = mat_id_f  # float ids compared against float loop constants
     at_surface = alive & hit & (kind != 2.0)
 
-    # ---- spectral matmul per λ lane: all curves at this lane's λ
+    # ---- spectral matmul per λ lane: all curves at this lane's λ.
+    # Precision is a per-scene static: HIGHEST costs ~6 bf16 MXU passes and
+    # dominated K2's device time; DEFAULT (single bf16 pass, f32
+    # accumulate) perturbs smooth spectral curves by ~4e-3 relative —
+    # far below the tonemapped-film noise floor (A/B: PARITY.md round 3).
+    prec = (jax.lax.Precision.HIGHEST if c.get("spec_f32", False)
+            else jax.lax.Precision.DEFAULT)
     spec = spec_ref[:, :]
-    R = []
-    for ci in range(C):
-        soft = _soft_onehot(lam[ci], c["lam_lo"], c["lam_hi"])
-        R.append(jax.lax.dot_general(
-            spec, soft, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST))  # [C_pad, TILE]
+    R = [_spectral_fetch(spec, lam[ci], c["lam_lo"], c["lam_hi"], prec)
+         for ci in range(C)]  # [C_pad, TILE] each
 
     env_row = 5 * n_mats
 
@@ -781,6 +822,34 @@ def _shade_kernel(consts, settings,
 
 def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, *rest):
     *blk_refs, out_ref = rest
+    _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                   blocked=[_tile(b[0, :]) > 0.5 for b in blk_refs])
+
+
+def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
+                           dense_ref, out_ref):
+    """K3+K4 fused: the NEE shadow sweeps run INLINE (dense-table chunks in
+    VMEM, _sweep_tiles) and feed straight into the finalize body — two fewer
+    dispatched programs per bounce round on a tunnel whose per-program
+    dispatch latency exceeds the round's device compute."""
+    ls = settings["light_samples"]
+    chunks = _fused_chunks(dense_ref)
+    ct32 = consts.get("ct32")
+    k2 = lambda i: _tile(k2_ref[i, :])
+    blocked = []
+    for si in range(ls):
+        base = O_NEE + 12 * si
+        so = V3(k2(base + 0), k2(base + 1), k2(base + 2))
+        sd = V3(k2(base + 3), k2(base + 4), k2(base + 5))
+        tmax = k2(base + 6)
+        blocked.append(_sweep_tiles(chunks, so, sd, tmax, closest=False,
+                                    present_list=ct32))
+    _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                   blocked=blocked)
+
+
+def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                   blocked):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
@@ -818,8 +887,7 @@ def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, *rest):
     for si in range(ls):
         base = O_NEE + 12 * si
         worth = k2(base + 7) > 0.5
-        blocked = _tile(blk_refs[si][0, :]) > 0.5
-        ok = worth & ~blocked
+        ok = worth & ~blocked[si]
         for ci in range(C):
             rad[ci] = rad[ci] + jnp.where(ok, k2(base + 8 + ci), 0.0)
 
@@ -868,10 +936,9 @@ def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, *rest):
     # ---- respawn: thin-lens camera ray (camera/projective.py get_ray +
     # camera/aperture.py sample_aperture, componentwise)
     rnd = [_tile(u_ref[1 + i, :]) for i in range(5)]
-    gidx = (jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0).astype(jnp.float32) * 128.0
-            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1).astype(jnp.float32)
-            + pl.program_id(0).astype(jnp.float32) * float(TILE))
-    pix = start + gidx
+    # respawn at the lane's OWNING pixel (state row, not lane position:
+    # compaction permutes lanes mid-render)
+    pix = s(S_PIX)
     px = pix - jnp.floor(pix / width) * width
     py = jnp.floor(pix / width)
     film_u = (px + rnd[0]) / width
@@ -1027,37 +1094,69 @@ def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
     return state_out, counters, it_dev + 1
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
+def _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
+              consts_t, interpret):
+    """Shadow sweeps + finalize as ONE dispatched program (K3xls+K4 fused)."""
+    import jax.random as jrandom
+
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    interp = pltpu.InterpretParams() if interpret else False
+    n_pad = state.shape[1]
+    ls = settings["light_samples"]
+    nk2 = _k2_rows(ls)
+    u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 1),
+                        (NU4, n_pad))
+    out4 = pl.pallas_call(
+        functools.partial(_finalize_sweep_kernel, consts, settings),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            _row_spec(NU4),
+            _row_spec(NS),
+            _row_spec(nk2),
+            _full_block_spec(dense_tab),
+        ],
+        out_specs=_row_spec(NK4),
+        out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
+        interpret=interp,
+    )(u, state, k2, dense_tab)
+    state_out = out4[:NS]
+    counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(out4[O4_BOUNCE_CT]))
+    counters = counters.at[prof.SHADOW_RAYS].add(jnp.sum(k2[O_SHADOW_CT]))
+    counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum(out4[O4_CAMERA_CT]))
+    counters = counters.at[prof.ENV_HITS].add(jnp.sum(k2[O_ENV_CT]))
+    return state_out, counters, it_dev + 1
+
+
 def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
                interpret):
-    """One bounce round = exactly FIVE dispatched programs:
-      K1  closest-hit straight off the state rows (dense.sweep_closest_rows)
-      K2  shading (draws its own uniform block in-jit)
-      K3  one any-hit per light sample straight off K2's NEE rows
-      K4  finalize (own uniforms, counters fused, iteration bump fused)
+    """One bounce round = exactly THREE dispatched programs:
+      K1   closest-hit straight off the state rows (dense.sweep_closest_rows;
+           BlockSpec fetches only the first 8 state rows — the ray o/d)
+      K2   shading (draws its own uniform block in-jit)
+      K34  NEE shadow sweeps INLINE + finalize (own uniforms, counters
+           fused, iteration bump fused)
     Each program holds exactly ONE pallas_call — the tunnel's AOT compiler
     takes ~110 s per ADDITIONAL pallas call in a program (and never
     finishes loop-wrapped pipelines), while single-kernel programs compile
-    in seconds and dispatch asynchronously."""
-    settings = dict(settings_t)
-    ls = settings["light_samples"]
+    in seconds. The dependent-program dispatch latency on the tunnel
+    (~2-14 ms) exceeds each kernel's device compute at 1080p, so programs
+    per round is THE throughput lever (measured: tools/profile_scaling.py)."""
     dense_tab = tabs[1]
-    from pathtracer_tpu.kernels.dense import sweep_any_rows, sweep_closest_rows
+    from pathtracer_tpu.kernels.dense import sweep_closest_rows
 
     tp = sweep_closest_rows(state, dense_tab, row0=S_O,
                             tmin_c=INTERSECTION_TIME_OFFSET, tmax_c=RAY_TMAX,
-                            src_rows=NS, interpret=interpret)
+                            src_rows=8, interpret=interpret,
+                            chunk_types=dict(consts_t).get("ct8"))
     k2 = _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t,
                   interpret)
-    nk2 = _k2_rows(ls)
-    blks = [
-        sweep_any_rows(k2, dense_tab, row0=O_NEE + 12 * si,
-                       tmin_c=INTERSECTION_TIME_OFFSET,
-                       tmax_row=O_NEE + 12 * si + 6,
-                       src_rows=nk2, interpret=interpret)
-        for si in range(ls)
-    ]
-    return _k4_call(state, k2, blks, counters, key, it_dev, settings_t,
-                    consts_t, interpret)
+    return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
+                     consts_t, interpret)
 
 
 @functools.partial(
@@ -1093,8 +1192,31 @@ def _mega_init(camera, key, settings_t, n, n_pad):
         jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
     state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, spp))
     state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
+    state = state.at[S_PIX].set(pix)
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
     return state, counters0
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _compact(state, m):
+    """Stable-partition lanes alive-first; return (front [NS, m], parked
+    tail [8, n-m] = rows S_ACC..S_PIX pre-sliced so the film assembly
+    fetches 8 rows, not 32). Caller guarantees alive count <= m, so every
+    parked lane is dead and its acc/pix rows are final."""
+    order = jnp.argsort(1.0 - state[S_ALIVE], stable=True)
+    shuffled = jnp.take(state, order, axis=1)
+    return shuffled[:, :m], shuffled[S_ACC:S_ACC + 8, m:]
+
+
+@jax.jit
+def _acc_rows(state):
+    """Film-assembly rows (acc xyz ... pix) of a state segment."""
+    return state[S_ACC:S_ACC + 8]
+
+
+@jax.jit
+def _alive_count(state):
+    return jnp.sum(state[S_ALIVE])
 
 
 @jax.jit
@@ -1160,7 +1282,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
-    # 5-program pipeline by default: the fused single-dispatch kernel is
+    # 3-program pipeline by default: the fused single-dispatch kernel is
     # estimator-identical and passes interpret-mode validation, but its
     # larger Mosaic body does not finish compiling on the axon tunnel
     # within 30 min (the split kernels compile in seconds) — opt in with
@@ -1168,14 +1290,46 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     step_fn = _step_fused if _os.environ.get("PT_MEGA_FUSED") else _mega_step
     # hard cap: expected rounds ~ spp x mean path length; 8x headroom
     max_iters = int(spp * settings.max_bounces * 8 + 64)
+    # occupancy compaction ladder (OPT-IN, PT_MEGA_COMPACT=1): once the
+    # alive population halves, stable-partition lanes alive-first and run
+    # the kernels on the front half only; parked tails hold only dead lanes
+    # whose acc/pix rows are final. Measured on the axon tunnel it is a net
+    # LOSS at bench spp (17.7 vs 60.7 Mrays/s): each new lane width is a
+    # fresh Mosaic compile of every kernel and the occupancy drain curve
+    # (tools/profile_mega_kernels.py --drain) caps the savable tail compute
+    # at ~15% of the render. Kept for long-tail/high-spp workloads on
+    # toolchains with persistent compile caches.
+    parked = []
+    m = n_pad
+    compact = bool(_os.environ.get("PT_MEGA_COMPACT"))
     while it < max_iters:
         for _ in range(ALIVE_CHECK_EVERY):
             state, counters, it_dev = step_fn(
                 state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
                 interpret)
             it += 1
-        if not bool(np.asarray(_any_alive(state))):
+        alive = float(np.asarray(_alive_count(state)))
+        if alive == 0.0:
             break
+        if compact:
+            m_new = m
+            while m_new > step and alive <= (m_new // 2):
+                m_new = -(-(m_new // 2) // step) * step
+            if m_new < m:
+                state, tail = _compact(state, m_new)
+                parked.append(tail)
+                m = m_new
+    if parked:
+        parked.append(_acc_rows(state))
+        # assemble by owning pixel: every lane's acc rows land at pix-start
+        acc = np.zeros((n, 3), np.float32)
+        pix_row = S_PIX - S_ACC
+        for seg in parked:
+            seg_h = np.asarray(seg)
+            idx = seg_h[pix_row].astype(np.int64) - start
+            ok = (idx >= 0) & (idx < n)
+            acc[idx[ok]] = seg_h[:3, ok].T
+        return jnp.asarray(acc), counters
     acc = state[S_ACC:S_ACC + 3, :n].T
     return acc, counters
 
@@ -1214,11 +1368,13 @@ def _fused_chunks(dense_ref):
     return chunks
 
 
-def _sweep_tiles(chunks, o, d, t_max, closest):
+def _sweep_tiles(chunks, o, d, t_max, closest, present_list=None):
     """In-kernel sweep over [SUB, 128] ray tiles (lanes = rays): reshape to
     (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce.
-    closest=True -> (t [SUB,128], id [SUB,128]); else blocked mask."""
-    from pathtracer_tpu.kernels.dense import _chunk_t
+    closest=True -> (t [SUB,128], id [SUB,128]); else blocked mask.
+    present_list: static per-chunk type presence (dense.chunk_type_presence,
+    block=PBF)."""
+    from pathtracer_tpu.kernels.dense import _chunk_t, _pres
 
     g = TILE // GWF
     rs = lambda x: x.reshape(g, GWF)
@@ -1240,7 +1396,8 @@ def _sweep_tiles(chunks, o, d, t_max, closest):
             best_t = jnp.full((GWF,), jnp.inf, jnp.float32)
             best_id = jnp.full((GWF,), jnp.inf, jnp.float32)
             for pc, ch in enumerate(chunks):
-                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax)
+                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                             present=_pres(present_list, pc))
                 ids = (jax.lax.broadcasted_iota(jnp.int32, (PBF, GWF), 0)
                        .astype(jnp.float32) + float(pc * PBF))
                 ct = jnp.min(t, axis=0)
@@ -1253,8 +1410,9 @@ def _sweep_tiles(chunks, o, d, t_max, closest):
             rows_b.append(jnp.where(hitf, best_id, -1.0))
         else:
             blocked = jnp.zeros((GWF,), jnp.float32)
-            for ch in chunks:
-                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax)
+            for pc, ch in enumerate(chunks):
+                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                             present=_pres(present_list, pc))
                 blocked = jnp.maximum(
                     blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
             rows_a.append(blocked)
@@ -1308,7 +1466,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     chunks = _fused_chunks(dense_ref)
 
     # ---- K1: closest hit straight off the live ray state
-    t_hit, pid = _sweep_tiles(chunks, o, d, None, closest=True)
+    t_hit, pid = _sweep_tiles(chunks, o, d, None, closest=True,
+                              present_list=c.get("ct32"))
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
 
@@ -1322,14 +1481,11 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     point, normal, gn, mat_id, kind, area = _hit_attributes(attr, o, d, t_hit)
     at_surface = alive & hit & (kind != 2.0)
 
+    prec = (jax.lax.Precision.HIGHEST if c.get("spec_f32", False)
+            else jax.lax.Precision.DEFAULT)
     spec = spec_ref[:, :]
-    R = []
-    for ci in range(C):
-        soft = _soft_onehot(lam[ci], c["lam_lo"], c["lam_hi"])
-        R.append(jax.lax.dot_general(
-            spec, soft, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST))
+    R = [_spectral_fetch(spec, lam[ci], c["lam_lo"], c["lam_hi"], prec)
+         for ci in range(C)]
 
     env_row = 5 * n_mats
     escaped = alive & ~hit
@@ -1474,7 +1630,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
             so = point + gn.scale(
                 NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9))
             # shadow sweep INLINE (K3)
-            blocked = _sweep_tiles(chunks, so, nee_dir, nee_tmax, closest=False)
+            blocked = _sweep_tiles(chunks, so, nee_dir, nee_tmax,
+                                   closest=False, present_list=c.get("ct32"))
             ok = worth & ~blocked
             inv_pdf = jnp.where(nee_pdf > 1e-12,
                                 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)
@@ -1570,10 +1727,7 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     camera_ind = has_work.astype(jnp.float32)
 
     rnd = [_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)]
-    gidx = (jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 0).astype(jnp.float32) * 128.0
-            + jax.lax.broadcasted_iota(jnp.int32, (SUB, 128), 1).astype(jnp.float32)
-            + pl.program_id(0).astype(jnp.float32) * float(TILE))
-    pix = start + gidx
+    pix = s(S_PIX)  # owning pixel rides the state (compaction-safe)
     px = pix - jnp.floor(pix / width) * width
     py = jnp.floor(pix / width)
     film_u = (px + rnd[0]) / width

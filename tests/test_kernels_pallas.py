@@ -148,6 +148,63 @@ def test_mega_white_furnace():
 
 
 @pytest.mark.slow
+def test_mega_compaction_film_integrity(monkeypatch):
+    """Occupancy compaction permutes lanes mid-render; the owning-pixel row
+    (S_PIX) must keep every lane's acc bound to its pixel. Furnace-scene
+    corner pixels see ONLY direct constant-env escapes, so their film value
+    is exact and identical with and without compaction; a mapping bug
+    scrambles them."""
+    from pathtracer_tpu.kernels import megakernel as mk
+
+    bundle = construct_world(
+        "/root/reference/data/scenes/white_furnace.toml",
+        search_paths=["/root/repo", "/root/reference"],
+        cache_dir="/tmp/pt_cache",
+    )
+    from pathtracer_tpu.core.bounds import Bounds1D
+
+    cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=2.0)
+    # fixed λ: direct-env-escape pixels then have EXACTLY deterministic
+    # values (independent of the RNG stream, which diverges at compaction)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=0,
+                          russian_roulette=True,
+                          wavelength_bounds=Bounds1D(550.0, 550.001))
+    w, h = 128, 64  # 8192 lanes: one halving step above the 4096 floor
+    spp = 8
+    monkeypatch.setattr(mk, "ALIVE_CHECK_EVERY", 4)
+    calls = []
+    orig = mk._compact
+
+    def spy(state, m):
+        calls.append(m)
+        return orig(state, m)
+
+    monkeypatch.setattr(mk, "_compact", spy)
+    monkeypatch.setenv("PT_MEGA_COMPACT", "1")
+    acc_c, c_c = pt_trace_regen_mega(bundle.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(31), interpret=True)
+    monkeypatch.delenv("PT_MEGA_COMPACT")
+    acc_n, c_n = pt_trace_regen_mega(bundle.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(31), interpret=True)
+    assert calls, "compaction never triggered (tune spp/check-every)"
+    ac = np.asarray(acc_c).reshape(h, w, 3)
+    an = np.asarray(acc_n).reshape(h, w, 3)
+    assert np.isfinite(ac).all()
+    # pure-escape pixels (every sample -> constant env at fixed λ) are
+    # exactly deterministic in BOTH runs; sphere-path pixels diverge with
+    # the RNG stream after the first compaction. A lane->pixel mapping bug
+    # scrambles values film-wide, collapsing the exact-match fraction.
+    exact = np.isclose(ac, an, rtol=1e-6).all(axis=2)
+    assert exact.mean() > 0.4, f"exact-match fraction {exact.mean():.2f}"
+    for sl in (np.s_[:2, :2], np.s_[:2, -2:], np.s_[-2:, :2], np.s_[-2:, -2:]):
+        np.testing.assert_allclose(ac[sl], an[sl], rtol=1e-6)
+    # whole-film agreement within MC noise (RNG streams diverge after the
+    # first compaction reshapes the uniform draws)
+    np.testing.assert_allclose(ac.mean(axis=(0, 1)), an.mean(axis=(0, 1)),
+                               rtol=0.15)
+
+
+@pytest.mark.slow
 def test_mega_fused_matches_split(cornell, monkeypatch):
     """The fused single-dispatch kernel and the 5-program pipeline are the
     same estimator (different uniform streams): counters within 5%, film

@@ -77,11 +77,25 @@ def main():
         return mk._k4_call(s, k2, blks, counters0, k_iter, jnp.int32(0),
                            settings_t, consts_t, False)[0]
 
+    def old_round(s):
+        tp = k1(s)
+        k2 = k2f(s, tp)
+        blks = [k3f(k2, si) for si in (0, 1)]
+        return k4f(s, k2, blks)
+
+    def new_round(s):
+        tp = k1(s)
+        k2 = k2f(s, tp)
+        return mk._k34_call(s, k2, dense_tab, counters0, k_iter,
+                            jnp.int32(0), settings_t, consts_t, False)[0]
+
     variants = {
         "K1 only": lambda s: (k1(s), s)[1],
         "K1+K2": lambda s: (k2f(s, k1(s)), s)[1],
         "K1+K2+K3": lambda s: (k3f(k2f(s, k1(s)), 0), s)[1],
         "K1+K2+2K3": lambda s: ([k3f(k2f(s, k1(s)), si) for si in (0, 1)], s)[1],
+        "old 5-prog round": old_round,
+        "new 3-prog round": new_round,
         "full round": None,
     }
 
