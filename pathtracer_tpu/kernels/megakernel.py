@@ -529,6 +529,30 @@ def _hit_attributes(attr, o, d, t):
 def _shade_kernel(consts, settings,
                   u_ref, state_ref, tp_ref, prim_ref, mat_ref, light_ref,
                   spec_ref, out_ref):
+    _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
+                light_ref, spec_ref, out_ref,
+                t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]))
+
+
+def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
+                        prim_ref, mat_ref, light_ref, spec_ref, out_ref):
+    """K1+K2 fused: the closest-hit sweep runs INLINE (dense-table chunks
+    in VMEM, _sweep_tiles) and feeds straight into the shade body — with
+    the K3xls+K4 fusion this makes the bounce round exactly TWO dispatched
+    programs on a tunnel whose per-program dispatch latency exceeds each
+    kernel's device compute at 1080p."""
+    s = lambda i: _tile(state_ref[i, :])
+    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+    t_hit, pid = _sweep_tiles(_fused_chunks(dense_ref), o, d, None,
+                              closest=True,
+                              present_list=consts.get("ct32"))
+    _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
+                light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid)
+
+
+def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
+                light_ref, spec_ref, out_ref, t_hit, pid):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
@@ -550,8 +574,6 @@ def _shade_kernel(consts, settings,
 
     mat_tab = mat_ref[:]
     light_tab = light_ref[:]
-    t_hit = _tile(tp_ref[0, :])
-    pid = _tile(tp_ref[1, :])
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
 
@@ -1062,6 +1084,42 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
     jax.jit,
     static_argnames=("settings_t", "consts_t", "interpret"),
 )
+def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
+    """Closest-hit sweep + shading as ONE dispatched program (K1+K2 fused)."""
+    import jax.random as jrandom
+
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    interp = pltpu.InterpretParams() if interpret else False
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    n_pad = state.shape[1]
+    ls = settings["light_samples"]
+    nk2 = _k2_rows(ls)
+    nu = _n_u_rows(ls)
+    u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
+                        (nu, n_pad))
+    return pl.pallas_call(
+        functools.partial(_shade_sweep_kernel, consts, settings),
+        grid=(n_pad // TILE,),
+        in_specs=[
+            _row_spec(nu),
+            _row_spec(NS),
+            _full_block_spec(dense_tab),
+            _full_block_spec(prim_tab),
+            _full_block_spec(mat_tab),
+            _full_block_spec(light_tab),
+            _full_block_spec(spec_tab),
+        ],
+        out_specs=_row_spec(nk2),
+        out_shape=jax.ShapeDtypeStruct((nk2, n_pad), jnp.float32),
+        interpret=interp,
+    )(u, state, dense_tab, prim_tab, mat_tab, light_tab, spec_tab)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
 def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
              interpret):
     import jax.random as jrandom
@@ -1134,10 +1192,9 @@ def _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
 
 def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
                interpret):
-    """One bounce round = exactly THREE dispatched programs:
-      K1   closest-hit straight off the state rows (dense.sweep_closest_rows;
-           BlockSpec fetches only the first 8 state rows — the ray o/d)
-      K2   shading (draws its own uniform block in-jit)
+    """One bounce round = exactly TWO dispatched programs:
+      K12  closest-hit sweep INLINE + shading (draws its own uniform block
+           in-jit)
       K34  NEE shadow sweeps INLINE + finalize (own uniforms, counters
            fused, iteration bump fused)
     Each program holds exactly ONE pallas_call — the tunnel's AOT compiler
@@ -1145,7 +1202,19 @@ def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
     finishes loop-wrapped pipelines), while single-kernel programs compile
     in seconds. The dependent-program dispatch latency on the tunnel
     (~2-14 ms) exceeds each kernel's device compute at 1080p, so programs
-    per round is THE throughput lever (measured: tools/profile_scaling.py)."""
+    per round is THE throughput lever (measured: tools/profile_scaling.py).
+    The fully-fused 1-program round (_all_kernel) is estimator-identical
+    but its Mosaic compile never finishes on the tunnel; 2 programs is the
+    measured floor that still compiles in seconds."""
+    dense_tab = tabs[1]
+    k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret)
+    return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
+                     consts_t, interpret)
+
+
+def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
+                     interpret):
+    """The split 3-program round (K1 / K2 / K34) kept for ablation."""
     dense_tab = tabs[1]
     from pathtracer_tpu.kernels.dense import sweep_closest_rows
 
@@ -1287,7 +1356,9 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # larger Mosaic body does not finish compiling on the axon tunnel
     # within 30 min (the split kernels compile in seconds) — opt in with
     # PT_MEGA_FUSED=1 on toolchains where it compiles
-    step_fn = _step_fused if _os.environ.get("PT_MEGA_FUSED") else _mega_step
+    step_fn = (_step_fused if _os.environ.get("PT_MEGA_FUSED")
+               else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
+               else _mega_step)
     # hard cap: expected rounds ~ spp x mean path length; 8x headroom
     max_iters = int(spp * settings.max_bounces * 8 + 64)
     # occupancy compaction ladder (OPT-IN, PT_MEGA_COMPACT=1): once the

@@ -204,6 +204,28 @@ def test_mega_compaction_film_integrity(monkeypatch):
                                rtol=0.15)
 
 
+def test_mega_2prog_bitidentical_3prog(cornell, monkeypatch):
+    """K12 fusion draws the SAME uniform stream as the split K1/K2 and its
+    inline sweep is the same per-prim math under a different chunk
+    partition (strict-< chunk reduction keeps the lowest prim id at the
+    global min t either way), so the 2-program round must be BIT-IDENTICAL
+    to the 3-program round."""
+    w = h = 32
+    spp = 4
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    monkeypatch.delenv("PT_MEGA_3PROG", raising=False)
+    acc2, c2 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(41), interpret=True)
+    monkeypatch.setenv("PT_MEGA_3PROG", "1")
+    acc3, c3 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(41), interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc2), np.asarray(acc3))
+    np.testing.assert_array_equal(np.asarray(c2), np.asarray(c3))
+    assert np.isfinite(np.asarray(acc2)).all()
+
+
 @pytest.mark.slow
 def test_mega_fused_matches_split(cornell, monkeypatch):
     """The fused single-dispatch kernel and the 5-program pipeline are the

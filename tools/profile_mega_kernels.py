@@ -89,13 +89,20 @@ def main():
         return mk._k34_call(s, k2, dense_tab, counters0, k_iter,
                             jnp.int32(0), settings_t, consts_t, False)[0]
 
+    def round_2prog(s):
+        k2 = mk._k12_call(s, tabs, k_iter, jnp.int32(0), settings_t,
+                          consts_t, False)
+        return mk._k34_call(s, k2, dense_tab, counters0, k_iter,
+                            jnp.int32(0), settings_t, consts_t, False)[0]
+
     variants = {
         "K1 only": lambda s: (k1(s), s)[1],
         "K1+K2": lambda s: (k2f(s, k1(s)), s)[1],
         "K1+K2+K3": lambda s: (k3f(k2f(s, k1(s)), 0), s)[1],
         "K1+K2+2K3": lambda s: ([k3f(k2f(s, k1(s)), si) for si in (0, 1)], s)[1],
         "old 5-prog round": old_round,
-        "new 3-prog round": new_round,
+        "3-prog round": new_round,
+        "2-prog round": round_2prog,
         "full round": None,
     }
 
