@@ -11,6 +11,7 @@ drive it directly.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -445,7 +446,18 @@ class SceneBuilder:
     def _resolve_mesh_instances(self):
         """Decide bake vs shared-BLAS per mesh group; emit baked world rows
         into self.prims; return (blas_meshes, blas_instances) with local
-        rows appended AFTER all world rows (their global row ids follow)."""
+        rows appended AFTER all world rows (their global row ids follow).
+
+        Flattening policy (TPU-first): when baking EVERY instance to world
+        space keeps the scene under PT_FLATTEN_MAX total rows (default
+        8192), do that instead of building the TLAS/BLAS — lockstep
+        two-level traversal pays per-step gathers on every lane while the
+        flattened scene rides the dense lockstep sweep (VPU-saturating, no
+        gathers) and the Pallas megakernel. The HBM cost of duplicated
+        rows is negligible at this scale (8 f32 rows/prim). Shared-BLAS
+        instancing (reference scheme, src/geometry/mesh.rs:283-304) still
+        engages for genuinely large instanced scenes and under
+        force_instancing (tests, memory-bound workloads)."""
         from collections import defaultdict
 
         groups = defaultdict(list)
@@ -460,13 +472,21 @@ class SceneBuilder:
             mats = np.unique(np.broadcast_to(df["mat_ids"], (len(df["indices"]),)))
             return any(self._mat_kind(int(m), None) == 1 for m in mats)
 
+        flatten_max = int(os.environ.get("PT_FLATTEN_MAX", "8192"))
+        projected_rows = len(self.prims) + sum(
+            len(self._mesh_defs[k]["indices"]) * len(v)
+            for k, v in groups.items())
+        flatten_all = (not self.force_instancing
+                       and projected_rows <= flatten_max)
+
         shared_groups = []
         for key, insts in groups.items():
             df = self._mesh_defs[key]
             bake_list, inst_list = [], []
             for mi in insts:
                 (bake_list if eff_emissive(df, mi) else inst_list).append(mi)
-            if len(inst_list) >= 2 or (self.force_instancing and inst_list):
+            if not flatten_all and (len(inst_list) >= 2
+                                    or (self.force_instancing and inst_list)):
                 shared_groups.append((key, inst_list))
             else:
                 bake_list.extend(inst_list)

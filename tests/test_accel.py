@@ -272,3 +272,49 @@ def test_two_level_render_equivalence():
     assert np.isfinite(films[0]).all()
     assert films[0].mean() > 0.0
     np.testing.assert_allclose(films[0], films[1], rtol=2e-3, atol=2e-4)
+
+
+def test_flatten_policy(monkeypatch):
+    """Default policy bakes small instanced scenes to world space (dense
+    sweep / megakernel eligibility — no TLAS/BLAS); PT_FLATTEN_MAX=0
+    restores the shared-BLAS route; intersections agree either way."""
+    from pathtracer_tpu.core.transform import from_stack
+    from pathtracer_tpu.parsing.meshes import load_obj
+
+    def world(flatten_max):
+        monkeypatch.setenv("PT_FLATTEN_MAX", str(flatten_max))
+        mesh = load_obj(resolve("data/meshes/gem.obj", ["/root/reference"]))[0]
+        b = SceneBuilder()
+        white = b.add_curve(spectral.FlatCurve(0.7), name="w")
+        one_px = np.ones((1, 1), np.float32)
+        tw = b.add_texture([(one_px, white)], name="t")
+        mw = b.add_lambertian(tw, name="m")
+        emit = b.add_curve(spectral.BlackbodyCurve(5500.0, 10.0), name="e")
+        ml = b.add_diffuse_light(emit, white, 2, name="ml")
+        xf1 = from_stack(None, [], [2.0, 0.0, 0.0])
+        xf2 = from_stack([0.6, 1.3, 0.9], [([0.0, 0.0, 1.0], 35.0)],
+                         [-1.5, 0.4, 0.2])
+        for xf in (None, xf1, xf2):
+            b.add_mesh(mesh.vertices, mesh.indices, mesh.normals, 0,
+                       transform=xf, mesh_key="gem", material_override=mw)
+        b.add_rect([0.0, 0.0, 4.0], [1.0, 0, 0], [0, 1.0, 0], ml)
+        zero = b.add_curve(spectral.FlatCurve(0.0), name="z")
+        b.set_environment_constant(zero, 0.0)
+        return b.build()
+
+    w_flat = world(8192)
+    w_blas = world(0)
+    assert w_flat.accel2 is None, "small scene must flatten by default"
+    assert w_blas.accel2 is not None
+    assert int(np.asarray(w_flat.prims.xf_inv).shape[0]) == 1, \
+        "flattened rows must leave the all-identity transform fast path on"
+    o, d = _gem_rays()
+    n = o.shape[0]
+    tmin = jnp.zeros(n)
+    tmax = jnp.full(n, 1e9)
+    h1 = w_flat.intersect(o, d, tmin, tmax)
+    h2 = w_blas.intersect(o, d, tmin, tmax)
+    assert np.array_equal(np.asarray(h1.hit), np.asarray(h2.hit))
+    hit = np.asarray(h1.hit)
+    np.testing.assert_allclose(np.asarray(h1.t)[hit], np.asarray(h2.t)[hit],
+                               rtol=2e-4, atol=2e-5)
