@@ -83,26 +83,6 @@ def pack_prims_np(ptype, valid, pa, pb, pc):
     return tab
 
 
-def _prim_chunks(tab_ref):
-    """Hoisted per-chunk [PB, 1] attr slabs (loop-invariant across the ray
-    groups — read once, live in registers)."""
-    p_pad = tab_ref.shape[0]
-    chunks = []
-    for pc in range(p_pad // PB):
-        blk = tab_ref[pc * PB:(pc + 1) * PB, :]  # [PB, 128] static
-
-        def a(col, blk=blk):
-            return blk[:, col:col + 1]           # [PB, 1]
-
-        chunks.append(dict(
-            ptype=a(_C_PTYPE), valid=a(_C_VALID),
-            pax=a(_C_PA), pay=a(_C_PA + 1), paz=a(_C_PA + 2),
-            pbx=a(_C_PB), pby=a(_C_PB + 1), pbz=a(_C_PB + 2),
-            pcx=a(_C_PC), pcy=a(_C_PC + 1), pcz=a(_C_PC + 2),
-        ))
-    return chunks
-
-
 def _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max, present=None):
     """t for a [1, GW] ray tile vs a [PB, 1] prim chunk -> [PB, GW].
 
@@ -247,9 +227,98 @@ def _pres(chunk_types, pc):
     return chunk_types[pc] if chunk_types is not None else None
 
 
-def _closest_kernel(chunk_types, rays_ref, tab_ref, out_ref):
-    chunks = _prim_chunks(tab_ref)
+# Unroll chunk runs shorter than this; loop longer ones. Scene bakes sort
+# prims by type, so a flattened instanced scene (builder PT_FLATTEN_MAX) is
+# one giant homogeneous run — a lax.fori_loop with a dynamic sublane-offset
+# chunk read keeps the Mosaic body O(type runs) instead of O(chunks)
+# (227 unrolled watertight-triangle chunks would explode compile time).
+# Small scenes (cornell 1 chunk, gem 10 chunks at PBF=32) stay below the
+# threshold and compile exactly the static-slice bodies they always did.
+LOOP_MIN = 16
 
+
+def _chunk_from_blk(blk):
+    """[block, 1] prim attr slabs from a [block, lanes] table slice."""
+    def a(col):
+        return blk[:, col:col + 1]
+
+    return dict(
+        ptype=a(_C_PTYPE), valid=a(_C_VALID),
+        pax=a(_C_PA), pay=a(_C_PA + 1), paz=a(_C_PA + 2),
+        pbx=a(_C_PB), pby=a(_C_PB + 1), pbz=a(_C_PB + 2),
+        pcx=a(_C_PC), pcy=a(_C_PC + 1), pcz=a(_C_PC + 2),
+    )
+
+
+def chunk_runs(chunk_types, n_chunks):
+    """Host-side: group consecutive chunks by identical STATIC type
+    presence -> [(start_chunk, n, present)]. All-absent runs (padding /
+    invalid-only chunks) are dropped entirely."""
+    if chunk_types is None:
+        return [(0, n_chunks, None)]
+    runs = []
+    for pc in range(n_chunks):
+        pr = chunk_types[pc]
+        if runs and runs[-1][2] == pr:
+            runs[-1] = (runs[-1][0], runs[-1][1] + 1, pr)
+        else:
+            runs.append((pc, 1, pr))
+    return [(c0, n, pr) for (c0, n, pr) in runs
+            if pr is None or any(pr)]
+
+
+def sweep_rowgroup(tab_ref, block, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                   closest, chunk_types):
+    """Reduce ONE [1, GW] ray row-group against every `block`-prim chunk of
+    `tab_ref`. closest=True -> (best_t [GW], best_id [GW] f32, -1 on miss
+    NOT applied — ids stay +inf for misses); closest=False -> blocked [GW]
+    f32 0/1 mask. Shared by the standalone dense sweeps (block=PB) and the
+    megakernel's inline sweeps (block=PBF).
+
+    The per-chunk math and reduction order are IDENTICAL whether a run is
+    unrolled or looped, so outputs are bit-identical to the historical
+    fully-unrolled kernels."""
+    gw = ox.shape[1]
+    n_chunks = tab_ref.shape[0] // block
+    if closest:
+        carry = (jnp.full((gw,), jnp.inf, jnp.float32),
+                 jnp.full((gw,), jnp.inf, jnp.float32))
+    else:
+        carry = jnp.zeros((gw,), jnp.float32)
+
+    def step(ch, base_f, carry):
+        t = _chunk_t(ch["vals"], ox, oy, oz, dx, dy, dz, t_min, t_max,
+                     present=ch["present"])  # [block, GW]
+        if closest:
+            best_t, best_id = carry
+            ids = (jax.lax.broadcasted_iota(jnp.int32, (block, gw), 0)
+                   .astype(jnp.float32) + base_f)
+            ct = jnp.min(t, axis=0)
+            cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
+            better = ct < best_t
+            return (jnp.where(better, ct, best_t),
+                    jnp.where(better, cid, best_id))
+        return jnp.maximum(
+            carry, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
+
+    for c0, n, present in chunk_runs(chunk_types, n_chunks):
+        if n < LOOP_MIN:
+            for pc in range(c0, c0 + n):
+                blk = tab_ref[pc * block:(pc + 1) * block, :]
+                carry = step(dict(vals=_chunk_from_blk(blk), present=present),
+                             float(pc * block), carry)
+        else:
+            def body(i, carry, c0=c0, present=present):
+                base = (c0 + i) * block
+                blk = tab_ref[pl.ds(base, block), :]
+                return step(dict(vals=_chunk_from_blk(blk), present=present),
+                            base.astype(jnp.float32), carry)
+
+            carry = jax.lax.fori_loop(0, n, body, carry)
+    return carry
+
+
+def _closest_kernel(chunk_types, rays_ref, tab_ref, out_ref):
     for rg in range(RAY_TILE // GW):
         sl = slice(rg * GW, (rg + 1) * GW)
         ox = rays_ref[0, sl][None, :]
@@ -260,26 +329,15 @@ def _closest_kernel(chunk_types, rays_ref, tab_ref, out_ref):
         dz = rays_ref[5, sl][None, :]
         t_min = rays_ref[6, sl][None, :]
         t_max = rays_ref[7, sl][None, :]
-        best_t = jnp.full((GW,), jnp.inf, jnp.float32)
-        best_id = jnp.full((GW,), jnp.inf, jnp.float32)
-        for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                         present=_pres(chunk_types, pc))  # [PB, GW]
-            ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
-                   .astype(jnp.float32) + float(pc * PB))
-            ct = jnp.min(t, axis=0)  # [GW]
-            cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
-            better = ct < best_t
-            best_t = jnp.where(better, ct, best_t)
-            best_id = jnp.where(better, cid, best_id)
+        best_t, best_id = sweep_rowgroup(
+            tab_ref, PB, ox, oy, oz, dx, dy, dz, t_min, t_max,
+            closest=True, chunk_types=chunk_types)
         hit = jnp.isfinite(best_t)
         out_ref[0, sl] = best_t
         out_ref[1, sl] = jnp.where(hit, best_id, -1.0)
 
 
 def _any_kernel(chunk_types, rays_ref, tab_ref, out_ref):
-    chunks = _prim_chunks(tab_ref)
-
     for rg in range(RAY_TILE // GW):
         sl = slice(rg * GW, (rg + 1) * GW)
         ox = rays_ref[0, sl][None, :]
@@ -290,13 +348,9 @@ def _any_kernel(chunk_types, rays_ref, tab_ref, out_ref):
         dz = rays_ref[5, sl][None, :]
         t_min = rays_ref[6, sl][None, :]
         t_max = rays_ref[7, sl][None, :]
-        blocked = jnp.zeros((GW,), jnp.float32)
-        for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                         present=_pres(chunk_types, pc))
-            blocked = jnp.maximum(
-                blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
-        out_ref[0, sl] = blocked
+        out_ref[0, sl] = sweep_rowgroup(
+            tab_ref, PB, ox, oy, oz, dx, dy, dz, t_min, t_max,
+            closest=False, chunk_types=chunk_types)
 
 
 def _pack_rays(o, d, t_min, t_max):
@@ -382,7 +436,6 @@ def pallas_intersect_any_dense(prims: Primitives, o, d, t_min, t_max,
 
 def _closest_rows_kernel(row0, tmin_c, tmax_c, chunk_types, src_ref, tab_ref,
                          out_ref):
-    chunks = _prim_chunks(tab_ref)
     for rg in range(RAY_TILE // GW):
         sl = slice(rg * GW, (rg + 1) * GW)
         ox = src_ref[row0 + 0, sl][None, :]
@@ -393,18 +446,9 @@ def _closest_rows_kernel(row0, tmin_c, tmax_c, chunk_types, src_ref, tab_ref,
         dz = src_ref[row0 + 5, sl][None, :]
         t_min = jnp.full((1, GW), tmin_c, jnp.float32)
         t_max = jnp.full((1, GW), tmax_c, jnp.float32)
-        best_t = jnp.full((GW,), jnp.inf, jnp.float32)
-        best_id = jnp.full((GW,), jnp.inf, jnp.float32)
-        for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                         present=_pres(chunk_types, pc))
-            ids = (jax.lax.broadcasted_iota(jnp.int32, (PB, GW), 0)
-                   .astype(jnp.float32) + float(pc * PB))
-            ct = jnp.min(t, axis=0)
-            cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
-            better = ct < best_t
-            best_t = jnp.where(better, ct, best_t)
-            best_id = jnp.where(better, cid, best_id)
+        best_t, best_id = sweep_rowgroup(
+            tab_ref, PB, ox, oy, oz, dx, dy, dz, t_min, t_max,
+            closest=True, chunk_types=chunk_types)
         hit = jnp.isfinite(best_t)
         out_ref[0, sl] = best_t
         out_ref[1, sl] = jnp.where(hit, best_id, -1.0)
@@ -416,7 +460,6 @@ def _any_rows_kernel(row0, tmin_c, tmax_row, chunk_types, src_ref, tab_ref,
                      out_ref):
     """tmax_row: row index of per-ray tmax within src (or None -> RAY_TMAX
     constant is not needed here; megakernel NEE always carries a tmax row)."""
-    chunks = _prim_chunks(tab_ref)
     for rg in range(RAY_TILE // GW):
         sl = slice(rg * GW, (rg + 1) * GW)
         ox = src_ref[row0 + 0, sl][None, :]
@@ -427,13 +470,9 @@ def _any_rows_kernel(row0, tmin_c, tmax_row, chunk_types, src_ref, tab_ref,
         dz = src_ref[row0 + 5, sl][None, :]
         t_min = jnp.full((1, GW), tmin_c, jnp.float32)
         t_max = src_ref[tmax_row, sl][None, :]
-        blocked = jnp.zeros((GW,), jnp.float32)
-        for pc, ch in enumerate(chunks):
-            t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                         present=_pres(chunk_types, pc))
-            blocked = jnp.maximum(
-                blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
-        out_ref[0, sl] = blocked
+        out_ref[0, sl] = sweep_rowgroup(
+            tab_ref, PB, ox, oy, oz, dx, dy, dz, t_min, t_max,
+            closest=False, chunk_types=chunk_types)
         for r in range(1, 8):
             out_ref[r, sl] = jnp.zeros((GW,), jnp.float32)
 

@@ -544,8 +544,7 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
     s = lambda i: _tile(state_ref[i, :])
     o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
     d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
-    t_hit, pid = _sweep_tiles(_fused_chunks(dense_ref), o, d, None,
-                              closest=True,
+    t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
                               present_list=consts.get("ct32"))
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid)
@@ -855,7 +854,6 @@ def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
     dispatched programs per bounce round on a tunnel whose per-program
     dispatch latency exceeds the round's device compute."""
     ls = settings["light_samples"]
-    chunks = _fused_chunks(dense_ref)
     ct32 = consts.get("ct32")
     k2 = lambda i: _tile(k2_ref[i, :])
     blocked = []
@@ -864,8 +862,8 @@ def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
         so = V3(k2(base + 0), k2(base + 1), k2(base + 2))
         sd = V3(k2(base + 3), k2(base + 4), k2(base + 5))
         tmax = k2(base + 6)
-        blocked.append(_sweep_tiles(chunks, so, sd, tmax, closest=False,
-                                    present_list=ct32))
+        blocked.append(_sweep_tiles(dense_ref, so, sd, tmax,
+                                    closest=False, present_list=ct32))
     _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
                    blocked=blocked)
 
@@ -1212,6 +1210,26 @@ def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
                      consts_t, interpret)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret"),
+)
+def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
+                     consts_t, interpret):
+    """One bounce round as ONE dispatched program holding TWO pallas
+    calls (K12 then K34). Bitwise the same ops as `_mega_step` — the
+    outer jit only changes program packaging. On the axon tunnel each
+    ADDITIONAL pallas call in a program costs ~110 s of one-time AOT
+    compile, but dependent-program dispatch latency (~2-14 ms) dominates
+    device compute at 1080p, so halving dispatches per round buys up to
+    2x wall clock once the compile is amortized (it is cached per
+    process and — via the terminal's compile cache — across runs)."""
+    dense_tab = tabs[1]
+    k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret)
+    return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
+                     consts_t, interpret)
+
+
 def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
                      interpret):
     """The split 3-program round (K1 / K2 / K34) kept for ablation."""
@@ -1358,6 +1376,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # PT_MEGA_FUSED=1 on toolchains where it compiles
     step_fn = (_step_fused if _os.environ.get("PT_MEGA_FUSED")
                else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
+               else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
                else _mega_step)
     # hard cap: expected rounds ~ spp x mean path length; 8x headroom
     max_iters = int(spp * settings.max_bounces * 8 + 64)
@@ -1418,34 +1437,15 @@ PBF = 32   # fused-sweep prim block (sublanes)
 GWF = 512  # fused-sweep ray group (lanes)
 
 
-def _fused_chunks(dense_ref):
-    """[PBF, 1] prim attr slabs from the transposed dense table."""
-    from pathtracer_tpu.kernels import dense as dn
-
-    p_pad = dense_ref.shape[0]
-    chunks = []
-    for pc in range(p_pad // PBF):
-        blk = dense_ref[pc * PBF:(pc + 1) * PBF, :]
-
-        def a(col, blk=blk):
-            return blk[:, col:col + 1]
-
-        chunks.append(dict(
-            ptype=a(dn._C_PTYPE), valid=a(dn._C_VALID),
-            pax=a(dn._C_PA), pay=a(dn._C_PA + 1), paz=a(dn._C_PA + 2),
-            pbx=a(dn._C_PB), pby=a(dn._C_PB + 1), pbz=a(dn._C_PB + 2),
-            pcx=a(dn._C_PC), pcy=a(dn._C_PC + 1), pcz=a(dn._C_PC + 2),
-        ))
-    return chunks
-
-
-def _sweep_tiles(chunks, o, d, t_max, closest, present_list=None):
+def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None):
     """In-kernel sweep over [SUB, 128] ray tiles (lanes = rays): reshape to
-    (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce.
+    (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce via
+    dense.sweep_rowgroup (long homogeneous chunk runs ride a fori_loop —
+    flattened instanced scenes keep the Mosaic body O(type runs)).
     closest=True -> (t [SUB,128], id [SUB,128]); else blocked mask.
     present_list: static per-chunk type presence (dense.chunk_type_presence,
     block=PBF)."""
-    from pathtracer_tpu.kernels.dense import _chunk_t, _pres
+    from pathtracer_tpu.kernels.dense import sweep_rowgroup
 
     g = TILE // GWF
     rs = lambda x: x.reshape(g, GWF)
@@ -1464,29 +1464,16 @@ def _sweep_tiles(chunks, o, d, t_max, closest, present_list=None):
         tmax = (tmax_r[rg:rg + 1, :] if tmax_r is not None
                 else jnp.full((1, GWF), RAY_TMAX, jnp.float32))
         if closest:
-            best_t = jnp.full((GWF,), jnp.inf, jnp.float32)
-            best_id = jnp.full((GWF,), jnp.inf, jnp.float32)
-            for pc, ch in enumerate(chunks):
-                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
-                             present=_pres(present_list, pc))
-                ids = (jax.lax.broadcasted_iota(jnp.int32, (PBF, GWF), 0)
-                       .astype(jnp.float32) + float(pc * PBF))
-                ct = jnp.min(t, axis=0)
-                cid = jnp.min(jnp.where(t == ct[None, :], ids, jnp.inf), axis=0)
-                better = ct < best_t
-                best_t = jnp.where(better, ct, best_t)
-                best_id = jnp.where(better, cid, best_id)
+            best_t, best_id = sweep_rowgroup(
+                dense_ref, PBF, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                closest=True, chunk_types=present_list)
             hitf = jnp.isfinite(best_t)
             rows_a.append(best_t)
             rows_b.append(jnp.where(hitf, best_id, -1.0))
         else:
-            blocked = jnp.zeros((GWF,), jnp.float32)
-            for pc, ch in enumerate(chunks):
-                t = _chunk_t(ch, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
-                             present=_pres(present_list, pc))
-                blocked = jnp.maximum(
-                    blocked, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
-            rows_a.append(blocked)
+            rows_a.append(sweep_rowgroup(
+                dense_ref, PBF, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                closest=False, chunk_types=present_list))
     if closest:
         return (jnp.stack(rows_a).reshape(SUB, 128),
                 jnp.stack(rows_b).reshape(SUB, 128))
@@ -1534,10 +1521,9 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
 
     mat_tab = mat_ref[:]
     light_tab = light_ref[:]
-    chunks = _fused_chunks(dense_ref)
 
     # ---- K1: closest hit straight off the live ray state
-    t_hit, pid = _sweep_tiles(chunks, o, d, None, closest=True,
+    t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
                               present_list=c.get("ct32"))
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
@@ -1701,8 +1687,9 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
             so = point + gn.scale(
                 NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9))
             # shadow sweep INLINE (K3)
-            blocked = _sweep_tiles(chunks, so, nee_dir, nee_tmax,
-                                   closest=False, present_list=c.get("ct32"))
+            blocked = _sweep_tiles(dense_ref, so, nee_dir, nee_tmax,
+                                   closest=False,
+                                   present_list=c.get("ct32"))
             ok = worth & ~blocked
             inv_pdf = jnp.where(nee_pdf > 1e-12,
                                 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)

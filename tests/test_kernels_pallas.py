@@ -249,3 +249,40 @@ def test_mega_fused_matches_split(cornell, monkeypatch):
     mf = np.asarray(acc_f).mean(axis=0) / spp
     np.testing.assert_allclose(mf, ms, rtol=0.25)
     assert np.isfinite(np.asarray(acc_f)).all()
+
+
+def test_dense_sweep_loop_path_parity():
+    """Scenes past LOOP_MIN chunks take the fori_loop + dynamic
+    sublane-offset read path (flattened instanced scenes); outputs must be
+    bit-identical to the XLA dense sweep, same as the unrolled path."""
+    from pathtracer_tpu.kernels.dense import LOOP_MIN, PB
+
+    arr = construct_world(
+        "data/scenes/diamond_arrangement_instanced.toml",
+        search_paths=["/root/repo", "/root/reference"],
+        cache_dir="/tmp/pt_cache",
+    )
+    prims = arr.world.prims
+    assert arr.world.accel2 is None, "arrangement must flatten by default"
+    assert prims.count // PB > LOOP_MIN, "must exercise the loop path"
+    rng = np.random.default_rng(7)
+    n = 4096
+    o = jnp.asarray(rng.normal(0, 0.4, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32)
+    tmax = jnp.full((n,), RAY_TMAX, jnp.float32)
+    ref = intersect_dense(prims, o, d, tmin, tmax)
+    new = pallas_intersect_dense(prims, o, d, tmin, tmax, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.hit), np.asarray(new.hit))
+    hm = np.asarray(ref.hit)
+    assert hm.any()
+    np.testing.assert_array_equal(np.asarray(ref.prim_id)[hm],
+                                  np.asarray(new.prim_id)[hm])
+    np.testing.assert_allclose(np.asarray(ref.t)[hm], np.asarray(new.t)[hm],
+                               rtol=1e-5, atol=1e-5)
+    na = pallas_intersect_any_dense(prims, o, d, tmin, tmax * 0.5,
+                                    interpret=True)
+    ra = intersect_any_dense(prims, o, d, tmin, tmax * 0.5)
+    np.testing.assert_array_equal(np.asarray(ra), np.asarray(na))
