@@ -84,6 +84,16 @@ S_ACC = 18
 S_DONE, S_ALIVE, S_BOUNCE, S_PREV_PDF = 21, 22, 23, 24
 S_PIX = 25  # owning pixel index (f32; lanes survive compaction permutations)
 NS = 32
+# Megakernel scene-size ceiling. The dense sweeps loop homogeneous chunk
+# runs (dense.sweep_rowgroup) and the prim record fetch blocks its one-hot
+# (_prim_attr_fetch), so compute scales O(P) with flat compile time; at 8k
+# prims the VMEM-resident tables are ~4.5 MB (dense [P,128] + prim [24,P]).
+# Beyond this, scenes ride the XLA BVH wavefront.
+# HELD AT 1024 pending an open estimator-bias investigation on the
+# flattened arrangement (mega renders it ~+50% bright vs the XLA regen
+# reference; sweeps/fetch probe exact in isolation) — raise to 8192 once
+# test_mega_matches_regen_arrangement is green.
+MEGA_MAX_PRIMS = 1024
 
 # ---- K2 output rows [NK2, N]
 O_RAD = 0          # 4: path_rad after emission/env adds
@@ -149,7 +159,7 @@ def mega_available(world, camera, settings) -> bool:
         return False
     if int(w.prims.xf_inv.shape[0]) != 1:
         return False
-    if w.prims.count > 1024:
+    if w.prims.count > MEGA_MAX_PRIMS:
         return False
     if int(w.env.kind) != ENV_CONSTANT:
         return False
@@ -550,6 +560,45 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
                 light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid)
 
 
+_ONEHOT_MAX = 1024   # single-matmul prim fetch up to here (programs for
+                     # cornell/gem-sized scenes stay byte-identical)
+_FETCH_BLOCK = 128   # lanes per fetch block past it (lane slices: 128-mult)
+
+
+def _prim_attr_fetch(prim_ref, pid_c):
+    """Hit-prim record fetch: [24, P] @ onehot[P, TILE] on the MXU.
+
+    Past _ONEHOT_MAX prims the one-hot intermediate would blow scoped VMEM
+    ([P, TILE] f32 is 59 MB at 7.3k prims — the flattened-arrangement
+    scale), so large tables accumulate over 128-lane blocks in a fori_loop:
+    identical total MXU flops and bit-identical output (exactly one block
+    matches each lane's pid; the rest add zero), but the live intermediate
+    is [_FETCH_BLOCK, TILE]."""
+    p_pad = prim_ref.shape[1]
+    pid_row = _flatrow(pid_c)[None, :]
+    if p_pad <= _ONEHOT_MAX:
+        onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, TILE), 0)
+                    .astype(jnp.float32) == pid_row).astype(jnp.float32)
+        return jax.lax.dot_general(
+            prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    def body(i, acc):
+        base = i * _FETCH_BLOCK
+        blk = prim_ref[:, pl.ds(base, _FETCH_BLOCK)]
+        ids = (jax.lax.broadcasted_iota(jnp.int32, (_FETCH_BLOCK, TILE), 0)
+               + base).astype(jnp.float32)
+        onehot = (ids == pid_row).astype(jnp.float32)
+        return acc + jax.lax.dot_general(
+            blk, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    acc0 = jnp.zeros((prim_ref.shape[0], TILE), jnp.float32)
+    return jax.lax.fori_loop(0, p_pad // _FETCH_BLOCK, body, acc0)
+
+
 def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref, t_hit, pid):
     c = consts
@@ -576,14 +625,7 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
 
-    # ---- prim attr fetch: [24, P] @ onehot[P, TILE] on the MXU
-    p_pad = prim_ref.shape[1]
-    onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, TILE), 0).astype(jnp.float32)
-                == _flatrow(pid_c)[None, :]).astype(jnp.float32)
-    attr = jax.lax.dot_general(
-        prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    attr = _prim_attr_fetch(prim_ref, pid_c)
     point, normal, gn, mat_id_f, kind, area = _hit_attributes(attr, o, d, t_hit)
     mat_id = mat_id_f  # float ids compared against float loop constants
     at_surface = alive & hit & (kind != 2.0)
@@ -1262,7 +1304,9 @@ def _mega_init(camera, key, settings_t, n, n_pad):
     height = settings["height"]
     start = settings["start"]
     spp = settings["spp"]
-    pix = start + jnp.arange(n_pad, dtype=jnp.float32)
+    # lane -> owning pixel; with lane replicas (settings["lane_mod"] = batch
+    # pixel count) R lanes share each pixel and each renders spp/R samples
+    pix = start + jnp.arange(n_pad, dtype=jnp.float32) % settings["lane_mod"]
     xy = jnp.stack([pix % width, jnp.floor(pix / width)], axis=-1)
     rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
     film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
@@ -1320,10 +1364,16 @@ ALIVE_CHECK_EVERY = 12  # host syncs (tunnel RTT ~35ms) amortised over steps
 
 
 def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
-                        start=0, batch_n=None, interpret=False):
+                        start=0, batch_n=None, interpret=False, replicas=1):
     """Megakernel drop-in for integrator.pt_regen.pt_trace_regen: renders
     `spp` samples for pixels [start, start+batch_n) with one lane per pixel.
     Returns (xyz sums [batch_n, 3], counters[5]).
+
+    `replicas=R` spawns R lanes per pixel, each rendering spp/R samples
+    (summed at the end): same total compute in 1/R the bounce rounds at
+    R x the lanes per dispatch — the dispatch-latency amortization lever
+    for small films on the tunnel (512^2 @ 64 spp would otherwise spend
+    ~200 rounds of ~2 ms kernels behind ~14 ms dispatches).
 
     Estimator-identical to the XLA regen loop (same NEE/MIS/RR machinery —
     see _shade_kernel/_finalize_kernel citations); the uniform stream is an
@@ -1338,14 +1388,17 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         scene = build_mega_scene(world, camera, settings)
         _SCENE_CACHE["entry"] = (world, camera, scene)
     n = batch_n or (width * height)
+    assert spp % replicas == 0, "replicas must divide spp"
+    n_lanes = n * replicas
     step = max(TILE, RAY_TILE)
-    n_pad = -(-n // step) * step
+    n_pad = -(-n_lanes // step) * step
     wb = settings.wavelength_bounds
 
     settings_d = dict(
         c_lanes=c_lanes,
         light_samples=int(settings.light_samples),
-        spp=float(spp),
+        spp=float(spp // replicas),
+        lane_mod=float(n),
         max_bounces=float(settings.max_bounces),
         min_bounces=float(settings.min_bounces),
         russian_roulette=bool(settings.russian_roulette),
@@ -1365,7 +1418,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
 
     import os as _os
 
-    state, counters = _mega_init(camera, key, settings_t, n, n_pad)
+    state, counters = _mega_init(camera, key, settings_t, n_lanes, n_pad)
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
@@ -1378,8 +1431,8 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
                else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
                else _mega_step)
-    # hard cap: expected rounds ~ spp x mean path length; 8x headroom
-    max_iters = int(spp * settings.max_bounces * 8 + 64)
+    # hard cap: expected rounds ~ per-lane spp x mean path length; 8x headroom
+    max_iters = int((spp // replicas) * settings.max_bounces * 8 + 64)
     # occupancy compaction ladder (OPT-IN, PT_MEGA_COMPACT=1): once the
     # alive population halves, stable-partition lanes alive-first and run
     # the kernels on the front half only; parked tails hold only dead lanes
@@ -1418,9 +1471,12 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
             seg_h = np.asarray(seg)
             idx = seg_h[pix_row].astype(np.int64) - start
             ok = (idx >= 0) & (idx < n)
-            acc[idx[ok]] = seg_h[:3, ok].T
+            # additive: replica lanes share a pixel
+            np.add.at(acc, idx[ok], seg_h[:3, ok].T)
         return jnp.asarray(acc), counters
-    acc = state[S_ACC:S_ACC + 3, :n].T
+    acc = state[S_ACC:S_ACC + 3, :n_lanes].T
+    if replicas > 1:
+        acc = acc.reshape(replicas, n, 3).sum(axis=0)
     return acc, counters
 
 
@@ -1528,13 +1584,7 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
 
-    p_pad = prim_ref.shape[1]
-    onehot_p = (jax.lax.broadcasted_iota(jnp.int32, (p_pad, TILE), 0).astype(jnp.float32)
-                == _flatrow(pid_c)[None, :]).astype(jnp.float32)
-    attr = jax.lax.dot_general(
-        prim_ref[:, :], onehot_p, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+    attr = _prim_attr_fetch(prim_ref, pid_c)
     point, normal, gn, mat_id, kind, area = _hit_attributes(attr, o, d, t_hit)
     at_surface = alive & hit & (kind != 2.0)
 

@@ -87,6 +87,16 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
             t0 = time.perf_counter()
             n_pix = width * height
             batch_n = pixel_batch or n_pix
+            # lane replicas: small films leave the wavefront dispatch-bound
+            # (bounce rounds scale with per-lane spp, not lanes); spawn R
+            # lanes per pixel at spp/R each up to ~1.1M lanes — same
+            # compute, 1/R the rounds (kernels/megakernel.py docstring)
+            replicas = 1
+            if pixel_batch is None:
+                for cand in (8, 4, 2):
+                    if min_samples % cand == 0 and n_pix * cand <= 1_100_000:
+                        replicas = cand
+                        break
             films, counters_total = [], None
             from pathtracer_tpu.core import sampling as _sampling
 
@@ -94,7 +104,7 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
                 acc, c = pt_trace_regen_mega(
                     world, camera, settings, width, height, min_samples,
                     _sampling.fold(key, 77 + b), start=b * batch_n,
-                    batch_n=batch_n)
+                    batch_n=batch_n, replicas=replicas)
                 films.append(acc / float(min_samples))
                 counters_total = c if counters_total is None else counters_total + c
             film = jnp.concatenate(films, axis=0)

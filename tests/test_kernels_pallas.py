@@ -286,3 +286,61 @@ def test_dense_sweep_loop_path_parity():
                                     interpret=True)
     ra = intersect_any_dense(prims, o, d, tmin, tmax * 0.5)
     np.testing.assert_array_equal(np.asarray(ra), np.asarray(na))
+
+
+@pytest.mark.slow
+@pytest.mark.xfail(strict=False, reason="open mega estimator bias on"
+                   " the flattened arrangement (+~50% bright vs XLA regen;"
+                   " gate MEGA_MAX_PRIMS held at 1024 until fixed)")
+def test_mega_matches_regen_arrangement():
+    """The flattened arrangement (7.3k prims) takes BOTH large-scene kernel
+    paths — looped chunk-run sweeps and the blocked prim-record fetch —
+    and must agree with the XLA regen integrator within MC noise."""
+    arr = construct_world(
+        "data/scenes/diamond_arrangement_instanced.toml",
+        search_paths=["/root/repo", "/root/reference"],
+        cache_dir="/tmp/pt_cache",
+    )
+    cam = build_camera(arr.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=1,
+                          russian_roulette=True)
+    w = h = 24
+    spp = 6
+    acc_m, c_m = pt_trace_regen_mega(arr.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(5), interpret=True)
+    acc_r, c_r = pt_trace_regen(arr.world, cam, settings, w, h, spp,
+                                jax.random.PRNGKey(6))
+    assert np.isfinite(np.asarray(acc_m)).all()
+    am = np.asarray(acc_m).mean(axis=0) / spp
+    ar = np.asarray(acc_r).mean(axis=0) / spp
+    np.testing.assert_allclose(am, ar, rtol=0.25)  # MC bound at 6 spp
+    c_m, c_r = np.asarray(c_m), np.asarray(c_r)
+    nz = c_r > 0
+    np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
+
+
+@pytest.mark.slow
+def test_mega_replicas_match(cornell):
+    """R lanes/pixel at spp/R each must agree with 1 lane/pixel at spp
+    within MC noise (same estimator, decorrelated threefry streams).
+    Tolerances from a 6-seed calibration (2026-08-17): cornell channel
+    means at 32 spp / 32x32 have per-seed std ~5% (X/Y) — 0.15 is ~3
+    sigma of the seed-to-seed difference."""
+    w = h = 32
+    spp = 32
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    acc1, c1 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(9), interpret=True)
+    acc4, c4 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(10), interpret=True,
+                                   replicas=4)
+    a1 = np.asarray(acc1) / spp
+    a4 = np.asarray(acc4) / spp
+    assert np.isfinite(a4).all()
+    assert a4.shape == a1.shape
+    np.testing.assert_allclose(a4.mean(axis=0), a1.mean(axis=0), rtol=0.15)
+    c1, c4 = np.asarray(c1), np.asarray(c4)
+    # same camera-sample budget: spp * n_pix rays either way
+    np.testing.assert_allclose(c4[c1 > 0], c1[c1 > 0], rtol=0.05)
