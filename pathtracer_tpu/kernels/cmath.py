@@ -161,10 +161,13 @@ def sample_lambertian(reflectance, wi: V3, u1, u2):
 # ----------------------------------------------------------------------- ggx
 
 
-def ggx_d(alpha, wh_z):
+def ggx_d(alpha, wh: V3):
+    """materials/ggx.py ggx_d — stable a2*cos2 + sin2 denominator (the
+    nz2*(a2-1)+1 form cancels catastrophically for near-delta lobes)."""
     a2 = alpha * alpha
-    nz2 = wh_z * wh_z
-    denom = nz2 * (a2 - 1.0) + 1.0
+    nz2 = wh.z * wh.z
+    sx2 = wh.x * wh.x + wh.y * wh.y
+    denom = nz2 * a2 + sx2
     return a2 / jnp.maximum(jnp.pi * denom * denom, 1e-20)
 
 
@@ -211,7 +214,7 @@ def sample_vndf(alpha, wi: V3, u1, u2) -> V3:
 def vndf_pdf(alpha, wi: V3, wh: V3):
     """materials/ggx.py:89-93."""
     g1 = smith_g1(alpha, jnp.abs(wi.z))
-    d = ggx_d(alpha, jnp.abs(wh.z))
+    d = ggx_d(alpha, wh)
     return safe_div(g1 * d * jnp.abs(dot(wi, wh)), jnp.abs(wi.z))
 
 
@@ -269,7 +272,7 @@ def eval_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
     # reflection lobe
     wh_r = normalize(wi + wo)
     wh_r = where(wh_r.z * cos_i < 0.0, -wh_r, wh_r)
-    d_r = ggx_d(alpha, jnp.abs(wh_r.z))
+    d_r = ggx_d(alpha, wh_r)
     g_r = smith_g2(alpha, wi.z, wo.z)
     cos_ih_r = dot(wi, wh_r)
     f_diel = fresnel_dielectric(eta_from, eta_to, cos_ih_r)
@@ -282,7 +285,7 @@ def eval_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
     # transmission lobe (Walter 2007 eq. 21)
     ht = normalize(-(wi.scale(eta_from) + wo.scale(eta_to)))
     ht_u = where(ht.z < 0.0, -ht, ht)
-    d_t = ggx_d(alpha, jnp.abs(ht_u.z))
+    d_t = ggx_d(alpha, ht_u)
     g_t = g_r
     cos_ih_t = dot(wi, ht)
     cos_oh_t = dot(wo, ht)

@@ -24,10 +24,17 @@ from pathtracer_tpu.prelude import TransportMode, safe_div
 
 
 def ggx_d(alpha, wh):
-    """GGX normal distribution D(wh), isotropic."""
+    """GGX normal distribution D(wh), isotropic.
+
+    The denominator is a2*cos2 + sin2 with sin2 taken from the x/y
+    components: for near-delta lobes (alpha ~ 1e-4, wh_z ~ 1) the textbook
+    form nz2*(a2-1)+1 cancels catastrophically in f32 — the result swings
+    orders of magnitude on the last ulp of wh_z, collapsing claimed pdfs
+    below the integrators' sample_ok gates and destabilising MIS weights."""
     a2 = alpha * alpha
     nz2 = wh[..., 2] * wh[..., 2]
-    denom = nz2 * (a2 - 1.0) + 1.0
+    sx2 = wh[..., 0] * wh[..., 0] + wh[..., 1] * wh[..., 1]
+    denom = nz2 * a2 + sx2
     return a2 / jnp.maximum(jnp.pi * denom * denom, 1e-20)
 
 

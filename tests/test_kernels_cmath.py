@@ -159,3 +159,49 @@ def test_ggx_sample(rng):
     mostly_close(f_c, f_r)
     mostly_close(p_c, p_r)
     mostly_close(w_c, w_r)
+
+
+def test_ggx_near_delta_stable(rng):
+    """Near-delta lobes (gem/arrangement alpha=4e-4): f and pdf must agree
+    TIGHTLY between the kernel math and the XLA tables math. The textbook
+    D denominator nz2*(a2-1)+1 cancels catastrophically in f32 at wh_z~1 —
+    before the stable a2*cos2+sin2 form, claimed pdfs collapsed ~1e4x on
+    the last ulp of wh_z (killing paths via the sample_ok gates and
+    corrupting MIS weights) while the closed-form weight hid it."""
+    n = N
+    wi = unit(rng)
+    for alpha_v, eta_v in ((4e-4, 2.45), (4e-4, 1.5), (1e-4, 1.5)):
+        alpha = jnp.full(n, max(alpha_v, 1e-4), jnp.float32)
+        eta_i = jnp.full(n, eta_v, jnp.float32)
+        eta_o = jnp.ones(n, jnp.float32)
+        kappa = jnp.zeros(n, jnp.float32)
+        metallic = jnp.zeros(n, bool)
+        perm = jnp.ones(n, jnp.float32)
+        u1 = jnp.asarray(rng.random(n).astype(np.float32))
+        u2 = jnp.asarray(rng.random(n).astype(np.float32))
+        ul = jnp.asarray(rng.random(n).astype(np.float32))
+        wo_c, f_c, p_c, w_c = cmath.sample_ggx(
+            alpha, eta_i, eta_o, kappa, metallic, perm, as_v3(wi),
+            u1, u2, ul, TransportMode.Radiance)
+        wo_r, f_r, p_r, w_r = ggx_ref.sample_ggx(
+            alpha, eta_i, eta_o, kappa, metallic, perm, jnp.asarray(wi),
+            u1, u2, ul, TransportMode.Radiance)
+        f_c, p_c, f_r, p_r = map(np.asarray, (f_c, p_c, f_r, p_r))
+        # mean ratios catch any systematic scale divergence (were ~1e-4)
+        assert abs(f_c.mean() / f_r.mean() - 1.0) < 1e-3
+        assert abs(p_c.mean() / p_r.mean() - 1.0) < 1e-3
+        np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_r),
+                                   rtol=1e-4, atol=1e-6)
+        # sampled pdfs must be far above the integrators' 1e-12 kill gates
+        pos = p_r > 0
+        assert np.percentile(p_c[pos], 1) > 1.0
+        # eval at the sampled direction: same scale both paths
+        fe_c, pe_c = cmath.eval_ggx(alpha, eta_i, eta_o, kappa, metallic,
+                                    perm, as_v3(wi), as_v3(np.asarray(wo_r)),
+                                    TransportMode.Radiance)
+        fe_r, pe_r = ggx_ref.eval_ggx(alpha, eta_i, eta_o, kappa, metallic,
+                                      perm, jnp.asarray(wi), wo_r,
+                                      TransportMode.Radiance)
+        fe_c, pe_c, fe_r, pe_r = map(np.asarray, (fe_c, pe_c, fe_r, pe_r))
+        assert abs(fe_c.mean() / fe_r.mean() - 1.0) < 1e-3
+        assert abs(pe_c.mean() / pe_r.mean() - 1.0) < 1e-3
