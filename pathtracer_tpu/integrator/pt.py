@@ -136,7 +136,22 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         return lanes(f), lanes(pdf)
 
     def body(state):
-        (bounce, o, d, beta, radiance, alive, prev_pdf, med_stack, counters) = state
+        (bounce, o, d, beta, radiance, alive, prev_pdf, med_stack, counters,
+         pdfr) = state
+        # hero-wavelength spectral MIS (Wilkie et al. 2014; reference's HWSS
+        # is dormant upstream): pdfr lane c carries Π_b p_c(d_b)/p_0(d_b)
+        # along the path (lane 0 ≡ 1). Every radiance contribution scales by
+        # s_mis = C/Σ_j pdfr_j, turning the hero-pdf-normalized betas into
+        # the balance-heuristic mixture estimator. Exactly 1 for
+        # λ-independent sampling (lambertian, non-dispersive GGX); for
+        # dispersive near-delta refraction the companions' pdfs vanish and
+        # the hero picks up the ×C compensation — without this, a dispersive
+        # furnace loses the companions' share (~55% at C=4) of all
+        # transmitted energy.
+        if C > 1:
+            s_mis = (C / jnp.sum(pdfr, axis=-1))[:, None]
+        else:
+            s_mis = 1.0
         kb = sampling.fold(key, bounce)
         u = jax.random.uniform(kb, (n, 8 + 3 * max(settings.light_samples, 1)))
         hr = world.intersect(
@@ -201,7 +216,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce > 0) & nee_enabled & (p_env > 0.0)
         w_env = mis_or_one(use_mis_env, prev_pdf, env_nee_pdf)
-        radiance = radiance + jnp.where(escaped[:, None], beta * env_e * w_env[:, None], 0.0)
+        radiance = radiance + jnp.where(
+            escaped[:, None], beta * s_mis * env_e * w_env[:, None], 0.0)
         counters = counters.at[prof.ENV_HITS].add(jnp.sum(escaped.astype(jnp.float32)))
         alive = alive & (hr.hit | scattered)
 
@@ -216,7 +232,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         use_mis_light = (bounce > 0) & nee_enabled & have_lights
         w_light = mis_or_one(use_mis_light, prev_pdf, hyp_nee_pdf)
         is_light_hit = at_surface & (hr.mat_kind == 1)
-        radiance = radiance + jnp.where(is_light_hit[:, None], beta * le * w_light[:, None], 0.0)
+        radiance = radiance + jnp.where(
+            is_light_hit[:, None], beta * s_mis * le * w_light[:, None], 0.0)
 
         if settings.only_direct:
             # direct-only: bsdf-hit emission at bounce 1 was just added; stop
@@ -312,7 +329,8 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
                 # NEE vs (hero-sampled) BSDF strategy: the bsdf strategy
                 # density is the hero pdf for every lane
                 w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf_hero)
-                contrib = beta * thr * nee_le * tr * safe_div(w_nee, nee_pdf)[:, None] * inv_ls
+                contrib = (beta * s_mis * thr * nee_le * tr
+                           * safe_div(w_nee, nee_pdf)[:, None] * inv_ls)
                 radiance = radiance + jnp.where((worth & visible)[:, None], contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
                     jnp.sum((alive & worth).astype(jnp.float32))
@@ -332,10 +350,16 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             # spectrum that is zero at the hero λ), fall back to the direct
             # f_i·cos/p_hero form so the surviving lanes keep their energy —
             # killing the whole ray there loses ~5% on Cornell-like spectra.
-            f_lanes, _ = spectral_bsdf_eval(
+            f_lanes, p_lanes = spectral_bsdf_eval(
                 jnp.maximum(hr.material_id, 0), hr.uv, wi_local, wo_local,
                 TransportMode.Radiance,
             )
+            # spectral-MIS pdf ratios p_c/p_0 at the sampled direction (both
+            # from the same lane eval — exactly 1 when sampling is
+            # λ-independent)
+            pscale = jnp.concatenate(
+                [jnp.ones((n, 1)), safe_div(p_lanes, p_lanes[:, :1])[:, 1:]],
+                axis=1)
             scale = safe_div(f_lanes, f_lanes[:, :1])
             ratio_stable = ratio_hero[:, None] * scale
             ratio_direct = safe_div(
@@ -365,8 +389,13 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             ratio_lanes = jnp.where(scattered[:, None], ph_scale, ratio_lanes)
             f_pdf = jnp.where(scattered, ph_pdf_f, f_pdf)
             d_new = jnp.where(scattered[..., None], wo_med, d_surf)
+            if C > 1:
+                # phase value == solid-angle pdf; ph_scale is the pdf ratio
+                pscale = jnp.where(scattered[:, None], ph_scale, pscale)
         else:
             d_new = d_surf
+        if C > 1:
+            pdfr = jnp.where(alive[:, None], pdfr * pscale, pdfr)
         ratio_best = jnp.max(ratio_lanes, axis=-1)
         ratio_best = jnp.where(scattered, 1.0, ratio_best) if medium_aware else ratio_best
         sample_ok = scattered | ((f_pdf > 1e-12) & (ratio_best > 0.0))
@@ -414,6 +443,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
             jnp.where(alive, f_pdf, prev_pdf),
             med_stack,
             counters,
+            pdfr,
         )
 
     def cond(state):
@@ -435,6 +465,7 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         zero1,
         jnp.zeros((n, MEDIUM_STACK_K), jnp.int32) + zero1[:, None].astype(jnp.int32),
         counters0,
+        zeroC + 1.0,
     )
     state = jax.lax.while_loop(cond, body, state0)
     radiance = state[4]

@@ -87,7 +87,14 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
 
     def body(state):
         (rnd_i, next_id, pix, o, d, lam, beta, radiance, alive, bounce_ct,
-         prev_pdf, film, counters) = state
+         prev_pdf, film, counters, pdfr) = state
+        # hero-wavelength spectral MIS (see pt.py body): pdfr lane c carries
+        # the running p_c/p_0 pdf-ratio product; contributions scale by
+        # C/sum(pdfr).
+        if C > 1:
+            s_mis = (C / jnp.sum(pdfr, axis=-1))[:, None]
+        else:
+            s_mis = 1.0
         kb = sampling.fold(key, rnd_i + 1)
         u = jax.random.uniform(kb, (n, n_u))
         lam_f = lam.reshape(-1)
@@ -105,7 +112,8 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce_ct > 0) & nee_enabled & (p_env > 0.0)
         w_env = mis_or_one(use_mis_env, prev_pdf, env_nee_pdf)
-        radiance = radiance + jnp.where(escaped[:, None], beta * env_e * w_env[:, None], 0.0)
+        radiance = radiance + jnp.where(
+            escaped[:, None], beta * s_mis * env_e * w_env[:, None], 0.0)
         counters = counters.at[prof.ENV_HITS].add(jnp.sum(escaped.astype(jnp.float32)))
 
         # ---- emissive hit
@@ -123,7 +131,7 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
         w_light = mis_or_one(use_mis_light, prev_pdf, hyp_nee_pdf)
         is_light_hit = at_surface & (hr.mat_kind == 1)
         radiance = radiance + jnp.where(
-            is_light_hit[:, None], beta * le * w_light[:, None], 0.0
+            is_light_hit[:, None], beta * s_mis * le * w_light[:, None], 0.0
         )
 
         frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
@@ -172,7 +180,8 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
                     so, nee_dir,
                     jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32), nee_tmax)
                 w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, pdf_s[:, 0])
-                contrib = beta * thr * nee_le * safe_div(w_nee, nee_pdf)[:, None] * inv_ls
+                contrib = (beta * s_mis * thr * nee_le
+                           * safe_div(w_nee, nee_pdf)[:, None] * inv_ls)
                 radiance = radiance + jnp.where((worth & ~blocked)[:, None], contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
                     jnp.sum((at_surface & worth).astype(jnp.float32)))
@@ -182,11 +191,15 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
             world.mats, world.bank, world.tex, mat_id, lam[:, 0], hr.uv,
             wi_local, u[:, 0], u[:, 1], u[:, 2], TransportMode.Radiance)
         if C > 1:
-            f_lanes, _ = bsdf_eval(world.mats, world.bank, world.tex,
+            f_lanes, p_lanes = bsdf_eval(world.mats, world.bank, world.tex,
                                    rep(mat_id), lam_f, rep(hr.uv),
                                    rep(wi_local), rep(wo_local),
                                    TransportMode.Radiance)
-            f_lanes = lanes(f_lanes)
+            f_lanes, p_lanes = lanes(f_lanes), lanes(p_lanes)
+            # spectral-MIS pdf ratios p_c/p_0 at the sampled direction
+            pscale = jnp.concatenate(
+                [jnp.ones((n, 1)), safe_div(p_lanes, p_lanes[:, :1])[:, 1:]],
+                axis=1)
             scale = safe_div(f_lanes, f_lanes[:, :1])
             ratio_stable = ratio_hero[:, None] * scale
             ratio_direct = safe_div(
@@ -239,10 +252,13 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
         bounce_ct = jnp.where(continue_path, bounce_ct + 1,
                               jnp.where(has_work, 0, bounce_ct))
         prev_pdf = jnp.where(continue_path, f_pdf, jnp.where(has_work, 0.0, prev_pdf))
+        if C > 1:
+            pdfr = jnp.where(continue_path[:, None], pdfr * pscale,
+                             jnp.where(has_work[:, None], 1.0, pdfr))
         alive = continue_path | has_work
         next_id = next_id + jnp.sum(died.astype(jnp.int32))
         return (rnd_i + 3, next_id, pix, o, d, lam, beta, radiance, alive,
-                bounce_ct, prev_pdf, film, counters)
+                bounce_ct, prev_pdf, film, counters, pdfr)
 
     def cond(state):
         return jnp.any(state[8])
@@ -259,6 +275,7 @@ def pt_trace_persistent(world: World, camera, settings: PTSettings,
         zero1,
         film0,
         counters0,
+        jnp.ones((n, C)) + zero1[:, None] * 0.0,
     )
     state = jax.lax.while_loop(cond, body, state0)
     return state[11], state[12]

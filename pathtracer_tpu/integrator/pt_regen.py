@@ -90,7 +90,13 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
 
     def body(state):
         (rnd_i, o, d, lam, beta, path_rad, acc, done, alive, bounce_ct,
-         prev_pdf, med_stack, counters) = state
+         prev_pdf, med_stack, counters, pdfr) = state
+        # hero-wavelength spectral MIS (see pt.py body): pdfr lane c carries
+        # Π_b p_c/p_0 along the path; contributions scale by C/Σ pdfr.
+        if C > 1:
+            s_mis = (C / jnp.sum(pdfr, axis=-1))[:, None]
+        else:
+            s_mis = 1.0
         u = jax.random.uniform(sampling.fold(key, rnd_i), (n, n_u))
         lam_f = lam.reshape(-1)
         hr = world.intersect(
@@ -147,7 +153,8 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         env_nee_pdf = env_pdf_for(world.env, d) * p_env
         use_mis_env = (bounce_ct > 0) & nee_enabled & (p_env > 0.0)
         w_env = mis_or_one(use_mis_env, prev_pdf, env_nee_pdf)
-        path_rad = path_rad + jnp.where(escaped[:, None], beta * env_e * w_env[:, None], 0.0)
+        path_rad = path_rad + jnp.where(
+            escaped[:, None], beta * s_mis * env_e * w_env[:, None], 0.0)
         counters = counters.at[prof.ENV_HITS].add(jnp.sum(escaped.astype(jnp.float32)))
 
         wi_world = -d
@@ -164,7 +171,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         w_light = mis_or_one(use_mis_light, prev_pdf, hyp_nee_pdf)
         is_light_hit = at_surface & (hr.mat_kind == 1)
         path_rad = path_rad + jnp.where(
-            is_light_hit[:, None], beta * le * w_light[:, None], 0.0
+            is_light_hit[:, None], beta * s_mis * le * w_light[:, None], 0.0
         )
 
         frame = vecmath.TangentFrame(*_frame_arrays(hr.normal))
@@ -245,7 +252,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
                 else:
                     tr = 1.0
                 w_nee = mis_or_one(jnp.ones((n,), bool), nee_pdf, fwd_pdf_hero)
-                contrib = (beta * thr * nee_le * tr
+                contrib = (beta * s_mis * thr * nee_le * tr
                            * safe_div(w_nee, nee_pdf)[:, None] * inv_ls)
                 path_rad = path_rad + jnp.where((worth & ~blocked)[:, None], contrib, 0.0)
                 counters = counters.at[prof.SHADOW_RAYS].add(
@@ -255,11 +262,15 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
             world.mats, world.bank, world.tex, mat_id, lam[:, 0], hr.uv,
             wi_local, u[:, 0], u[:, 1], u[:, 2], TransportMode.Radiance)
         if C > 1:
-            f_lanes, _ = bsdf_eval(world.mats, world.bank, world.tex,
-                                   rep(mat_id), lam_f, rep(hr.uv),
-                                   rep(wi_local), rep(wo_local),
-                                   TransportMode.Radiance)
-            f_lanes = lanes(f_lanes)
+            f_lanes, p_lanes = bsdf_eval(world.mats, world.bank, world.tex,
+                                         rep(mat_id), lam_f, rep(hr.uv),
+                                         rep(wi_local), rep(wo_local),
+                                         TransportMode.Radiance)
+            f_lanes, p_lanes = lanes(f_lanes), lanes(p_lanes)
+            # spectral-MIS pdf ratios p_c/p_0 at the sampled direction
+            pscale = jnp.concatenate(
+                [jnp.ones((n, 1)), safe_div(p_lanes, p_lanes[:, :1])[:, 1:]],
+                axis=1)
             scale = safe_div(f_lanes, f_lanes[:, :1])
             ratio_stable = ratio_hero[:, None] * scale
             ratio_direct = safe_div(
@@ -287,6 +298,9 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
             ratio_lanes = jnp.where(scattered[:, None], ph_scale, ratio_lanes)
             f_pdf = jnp.where(scattered, ph_pdf_f, f_pdf)
             d_new = jnp.where(scattered[..., None], wo_med, d_surf)
+            if C > 1:
+                # phase value == solid-angle pdf; ph_scale is the pdf ratio
+                pscale = jnp.where(scattered[:, None], ph_scale, pscale)
         else:
             d_new = d_surf
         ratio_best = jnp.max(ratio_lanes, axis=-1)
@@ -350,12 +364,15 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         bounce_ct = jnp.where(continue_path, bounce_ct + 1,
                               jnp.where(has_work, 0, bounce_ct))
         prev_pdf = jnp.where(continue_path, f_pdf, jnp.where(has_work, 0.0, prev_pdf))
+        if C > 1:
+            pdfr = jnp.where(continue_path[:, None], pdfr * pscale,
+                             jnp.where(has_work[:, None], 1.0, pdfr))
         # respawned camera paths restart in vacuum (stack all-zero)
         med_stack = jnp.where(has_work[:, None] & ~continue_path[:, None],
                               0, med_stack)
         alive = continue_path | has_work
         return (rnd_i + 2, o, d, lam, beta, path_rad, acc, done, alive,
-                bounce_ct, prev_pdf, med_stack, counters)
+                bounce_ct, prev_pdf, med_stack, counters, pdfr)
 
     def cond(state):
         return jnp.any(state[8])
@@ -376,6 +393,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         zero1,
         jnp.zeros((n, stack_k), jnp.int32),
         counters0,
+        jnp.ones((n, C)) + zero1[:, None] * 0.0,
     )
     state = jax.lax.while_loop(cond, body, state0)
     return state[6], state[12]

@@ -83,17 +83,20 @@ S_LAM, S_BETA, S_RAD = 6, 10, 14
 S_ACC = 18
 S_DONE, S_ALIVE, S_BOUNCE, S_PREV_PDF = 21, 22, 23, 24
 S_PIX = 25  # owning pixel index (f32; lanes survive compaction permutations)
+S_PDFR = 26  # C_LANES rows: spectral-MIS pdf-ratio products Π p_c/p_0 (lane0 ≡ 1)
 NS = 32
+assert S_PDFR + C_LANES <= NS
 # Megakernel scene-size ceiling. The dense sweeps loop homogeneous chunk
 # runs (dense.sweep_rowgroup) and the prim record fetch blocks its one-hot
 # (_prim_attr_fetch), so compute scales O(P) with flat compile time; at 8k
 # prims the VMEM-resident tables are ~4.5 MB (dense [P,128] + prim [24,P]).
 # Beyond this, scenes ride the XLA BVH wavefront.
-# HELD AT 1024 pending an open estimator-bias investigation on the
-# flattened arrangement (mega renders it ~+50% bright vs the XLA regen
-# reference; sweeps/fetch probe exact in isolation) — raise to 8192 once
-# test_mega_matches_regen_arrangement is green.
-MEGA_MAX_PRIMS = 1024
+# (Round-3 note: the "+50% bright arrangement" that held this at 1024 was a
+# compound of MC seed noise on a caustic-heavy scene — XLA seeds swing 65%
+# at the probe settings — and the near-delta GGX D-denominator collapse
+# fixed in cmath/ggx; the sweep/fetch paths probe exact and the dispersive
+# furnace is conserving through the full large-P kernel.)
+MEGA_MAX_PRIMS = 8192
 
 # ---- K2 output rows [NK2, N]
 O_RAD = 0          # 4: path_rad after emission/env adds
@@ -105,7 +108,8 @@ O_SAMPLE_OK = 8
 O_RATIO = 9        # 4
 O_ONEW = 13        # 3
 O_DNEW = 16        # 3
-O_NEE = 19         # per light sample: so(3) dir(3) tmax(1) worth(1) contrib(4) = 12
+O_PSCALE = 19      # 4: per-lane pdf ratio p_c/p_0 at the sampled direction
+O_NEE = 23         # per light sample: so(3) dir(3) tmax(1) worth(1) contrib(4) = 12
 
 
 def _k2_rows(light_samples):
@@ -619,6 +623,16 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     alive = s(S_ALIVE) > 0.5
     bounce_ct = s(S_BOUNCE)
     prev_pdf = s(S_PREV_PDF)
+    # hero-wavelength spectral MIS (see pt.py body): the state carries the
+    # per-lane pdf-ratio products Π p_c/p_0; every radiance contribution
+    # scales by s_mis = C/Σ pdfr (exactly 1 for λ-independent sampling).
+    if C > 1:
+        sum_pdfr = s(S_PDFR + 0)
+        for ci in range(1, C):
+            sum_pdfr = sum_pdfr + s(S_PDFR + ci)
+        s_mis = C / jnp.maximum(sum_pdfr, 1e-30)
+    else:
+        s_mis = jnp.ones((SUB, 128), jnp.float32)
 
     mat_tab = mat_ref[:]
     light_tab = light_ref[:]
@@ -660,7 +674,8 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
         w_env = jnp.ones((SUB, 128), jnp.float32)
     for ci in range(C):
         env_e = _tile(R[ci][env_row, :])
-        rad[ci] = rad[ci] + jnp.where(escaped, beta[ci] * env_e * w_env, 0.0)
+        rad[ci] = rad[ci] + jnp.where(escaped,
+                                      beta[ci] * s_mis * env_e * w_env, 0.0)
     env_ct = escaped.astype(jnp.float32)
 
     # ---- light-hit emission + MIS (pt_regen.py:100-116)
@@ -682,7 +697,8 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             spd = _sel_rows(R[ci], mat_id, 4, n_mats, stride=5)
             le = _emission_value(spd, mtype, side, sharp, cos_at_light,
                                  has_sharp=c["has_sharp"])
-            rad[ci] = rad[ci] + jnp.where(is_light_hit, beta[ci] * le * w_light, 0.0)
+            rad[ci] = rad[ci] + jnp.where(is_light_hit,
+                                          beta[ci] * s_mis * le * w_light, 0.0)
 
     # ---- shading frame
     tgt, btg = cmath.orthonormal_basis(normal)
@@ -805,7 +821,8 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             inv_pdf = jnp.where(nee_pdf > 1e-12, 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)
             for ci in range(C):
                 thr_ci, le_ci = contribs[ci]
-                contrib = beta[ci] * thr_ci * le_ci * w_nee * inv_pdf * inv_ls
+                contrib = (beta[ci] * s_mis * thr_ci * le_ci
+                           * w_nee * inv_pdf * inv_ls)
                 out_ref[base + 8 + ci, :] = _flatrow(contrib)
             for ci in range(C, C_LANES):
                 out_ref[base + 8 + ci, :] = jnp.zeros((TILE,), jnp.float32)
@@ -837,12 +854,14 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
 
     # companion-lane ratios via 4-lane eval (hero-death direct fallback)
     f_lanes = []
+    p_lanes = []
     for ci in range(C):
-        f_ci, _ = _bsdf_eval_lane(
+        f_ci, p_ci = _bsdf_eval_lane(
             mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
             refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
             has_ggx=c["has_ggx"])
         f_lanes.append(f_ci)
+        p_lanes.append(p_ci)
     hero_f = f_lanes[0]
     hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
     inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
@@ -858,12 +877,19 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     o_new = point + gn.scale(NORMAL_OFFSET * jnp.sign(cmath.dot(gn, d_new)))
 
     # ---- write out
+    # spectral-MIS pdf ratios p_c/p_0 at the sampled direction
+    inv_p0 = jnp.where(p_lanes[0] > 0.0,
+                       1.0 / jnp.where(p_lanes[0] > 0.0, p_lanes[0], 1.0), 0.0)
     for ci in range(C):
         out_ref[O_RAD + ci, :] = _flatrow(rad[ci])
         out_ref[O_RATIO + ci, :] = _flatrow(ratios[ci])
+        psc = (jnp.ones((SUB, 128), jnp.float32) if ci == 0
+               else p_lanes[ci] * inv_p0)
+        out_ref[O_PSCALE + ci, :] = _flatrow(psc)
     for ci in range(C, C_LANES):
         out_ref[O_RAD + ci, :] = jnp.zeros((TILE,), jnp.float32)
         out_ref[O_RATIO + ci, :] = jnp.zeros((TILE,), jnp.float32)
+        out_ref[O_PSCALE + ci, :] = jnp.zeros((TILE,), jnp.float32)
     out_ref[O_AT_SURF, :] = _flatrow(at_surface.astype(jnp.float32))
     out_ref[O_ENV_CT, :] = _flatrow(env_ct)
     out_ref[O_SHADOW_CT, :] = _flatrow(shadow_ct)
@@ -1066,7 +1092,15 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
         jnp.where(cp, bounce_ct + 1.0, jnp.where(hw, 0.0, bounce_ct)))
     out_ref[S_PREV_PDF, :] = _flatrow(
         jnp.where(cp, f_pdf, jnp.where(hw, 0.0, s(S_PREV_PDF))))
+    # spectral-MIS pdf-ratio products: multiply in this bounce's ratios on
+    # continuation, reset on respawn
+    for ci in range(C):
+        new_r = jnp.where(cp, s(S_PDFR + ci) * k2(O_PSCALE + ci),
+                          jnp.where(hw, 1.0, s(S_PDFR + ci)))
+        out_ref[S_PDFR + ci, :] = _flatrow(new_r)
     for row in range(S_PREV_PDF + 1, NS):
+        if S_PDFR <= row < S_PDFR + C:
+            continue
         out_ref[row, :] = state_ref[row, :]
     out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
     out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
@@ -1324,6 +1358,8 @@ def _mega_init(camera, key, settings_t, n, n_pad):
     state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, spp))
     state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
     state = state.at[S_PIX].set(pix)
+    # spectral-MIS pdf-ratio products start at 1
+    state = state.at[S_PDFR:S_PDFR + c_lanes].set(1.0)
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
     return state, counters0
 
@@ -1574,6 +1610,14 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     alive = s(S_ALIVE) > 0.5
     bounce_ct = s(S_BOUNCE)
     prev_pdf = s(S_PREV_PDF)
+    # hero-wavelength spectral MIS (see pt.py body)
+    if C > 1:
+        sum_pdfr = s(S_PDFR + 0)
+        for ci in range(1, C):
+            sum_pdfr = sum_pdfr + s(S_PDFR + ci)
+        s_mis = C / jnp.maximum(sum_pdfr, 1e-30)
+    else:
+        s_mis = jnp.ones((SUB, 128), jnp.float32)
 
     mat_tab = mat_ref[:]
     light_tab = light_ref[:]
@@ -1609,7 +1653,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
         w_env = jnp.ones((SUB, 128), jnp.float32)
     for ci in range(C):
         env_e = _tile(R[ci][env_row, :])
-        rad[ci] = rad[ci] + jnp.where(escaped, beta[ci] * env_e * w_env, 0.0)
+        rad[ci] = rad[ci] + jnp.where(escaped,
+                                      beta[ci] * s_mis * env_e * w_env, 0.0)
     env_ct = escaped.astype(jnp.float32)
 
     wi_world = -d
@@ -1630,7 +1675,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
             spd = _sel_rows(R[ci], mat_id, 4, n_mats, stride=5)
             le = _emission_value(spd, mtype, side, sharp, cos_at_light,
                                  has_sharp=c["has_sharp"])
-            rad[ci] = rad[ci] + jnp.where(is_light_hit, beta[ci] * le * w_light, 0.0)
+            rad[ci] = rad[ci] + jnp.where(is_light_hit,
+                                          beta[ci] * s_mis * le * w_light, 0.0)
 
     tgt, btg = cmath.orthonormal_basis(normal)
     wi_local = cmath.to_local(tgt, btg, normal, wi_world)
@@ -1745,7 +1791,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
                                 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)
             for ci in range(C):
                 thr_ci, le_ci = contribs[ci]
-                contrib = beta[ci] * thr_ci * le_ci * w_nee * inv_pdf * inv_ls
+                contrib = (beta[ci] * s_mis * thr_ci * le_ci
+                           * w_nee * inv_pdf * inv_ls)
                 rad[ci] = rad[ci] + jnp.where(ok, contrib, 0.0)
             shadow_ct = shadow_ct + (at_surface & worth).astype(jnp.float32)
 
@@ -1773,12 +1820,14 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
 
     f_lanes = []
+    p_lanes = []
     for ci in range(C):
-        f_ci, _ = _bsdf_eval_lane(
+        f_ci, p_ci = _bsdf_eval_lane(
             mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
             refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
             has_ggx=c["has_ggx"])
         f_lanes.append(f_ci)
+        p_lanes.append(p_ci)
     hero_f = f_lanes[0]
     hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
     inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
@@ -1899,7 +1948,18 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
         jnp.where(cp, bounce_ct + 1.0, jnp.where(hw, 0.0, bounce_ct)))
     out_ref[S_PREV_PDF, :] = _flatrow(
         jnp.where(cp, f_pdf, jnp.where(hw, 0.0, s(S_PREV_PDF))))
+    # spectral-MIS pdf-ratio products (inline pscale: no K2 round-trip)
+    inv_p0 = jnp.where(p_lanes[0] > 0.0,
+                       1.0 / jnp.where(p_lanes[0] > 0.0, p_lanes[0], 1.0), 0.0)
+    for ci in range(C):
+        psc = (jnp.ones((SUB, 128), jnp.float32) if ci == 0
+               else p_lanes[ci] * inv_p0)
+        new_r = jnp.where(cp, s(S_PDFR + ci) * psc,
+                          jnp.where(hw, 1.0, s(S_PDFR + ci)))
+        out_ref[S_PDFR + ci, :] = _flatrow(new_r)
     for row in range(S_PREV_PDF + 1, NS):
+        if S_PDFR <= row < S_PDFR + C:
+            continue
         out_ref[row, :] = state_ref[row, :]
     out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
     out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
