@@ -28,3 +28,14 @@ REFERENCE_DATA = "/root/reference/data"
 @pytest.fixture(scope="session")
 def ref_data_dir():
     return REFERENCE_DATA
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_per_module():
+    """Full slow-suite runs segfault the XLA CPU compiler after ~80
+    accumulated compilations in one process (backend_compile_and_load
+    SIGSEGV at ~81%, reproducible 2026-08-18; every module passes in
+    isolation). Dropping compiled programs between modules keeps the
+    compiler arena bounded at the cost of some recompiles."""
+    yield
+    jax.clear_caches()
