@@ -1306,6 +1306,30 @@ def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
                      consts_t, interpret)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("settings_t", "consts_t", "interpret", "rounds"),
+)
+def _mega_step_multi(state, counters, it_dev, tabs, key, settings_t,
+                     consts_t, interpret, rounds):
+    """`rounds` bounce rounds chained in ONE dispatched program (2·rounds
+    pallas calls). Bitwise the same ops and uniform stream as `rounds`
+    sequential _mega_step calls — only the program packaging changes. The
+    tunnel's AOT compiler is ~linear at ~110 s per additional pallas call
+    (418cced measurement), so PT_MEGA_ROUNDS=2 costs ~440 s of one-time
+    compile and halves the per-round dispatch overhead that dominates
+    1080p wall clock; the drain tail wastes at most rounds-1 dead-lane
+    rounds per sync."""
+    dense_tab = tabs[1]
+    for _ in range(rounds):
+        k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t,
+                       interpret)
+        state, counters, it_dev = _k34_call(
+            state, k2, dense_tab, counters, key, it_dev, settings_t,
+            consts_t, interpret)
+    return state, counters, it_dev
+
+
 def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
                      interpret):
     """The split 3-program round (K1 / K2 / K34) kept for ablation."""
@@ -1463,9 +1487,13 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # larger Mosaic body does not finish compiling on the axon tunnel
     # within 30 min (the split kernels compile in seconds) — opt in with
     # PT_MEGA_FUSED=1 on toolchains where it compiles
+    rounds_per_prog = max(int(_os.environ.get("PT_MEGA_ROUNDS", "1")), 1)
     step_fn = (_step_fused if _os.environ.get("PT_MEGA_FUSED")
                else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
                else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
+               else functools.partial(_mega_step_multi,
+                                      rounds=rounds_per_prog)
+               if rounds_per_prog > 1
                else _mega_step)
     # hard cap: expected rounds ~ per-lane spp x mean path length; 8x headroom
     max_iters = int((spp // replicas) * settings.max_bounces * 8 + 64)
@@ -1481,12 +1509,13 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     parked = []
     m = n_pad
     compact = bool(_os.environ.get("PT_MEGA_COMPACT"))
+    calls_per_sync = max(ALIVE_CHECK_EVERY // rounds_per_prog, 1)
     while it < max_iters:
-        for _ in range(ALIVE_CHECK_EVERY):
+        for _ in range(calls_per_sync):
             state, counters, it_dev = step_fn(
                 state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
                 interpret)
-            it += 1
+            it += rounds_per_prog
         alive = float(np.asarray(_alive_count(state)))
         if alive == 0.0:
             break

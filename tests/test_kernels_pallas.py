@@ -323,6 +323,24 @@ def test_mega_matches_regen_arrangement():
     np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
 
 
+def test_mega_multi_round_bitidentical(cornell, monkeypatch):
+    """PT_MEGA_ROUNDS=K chains K bounce rounds into one program; same ops,
+    same uniform stream -> films bit-identical to the per-round dispatch."""
+    w = h = 32
+    spp = 4
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=1,
+                          russian_roulette=True)
+    monkeypatch.delenv("PT_MEGA_ROUNDS", raising=False)
+    acc1, c1 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(12), interpret=True)
+    monkeypatch.setenv("PT_MEGA_ROUNDS", "3")
+    acc3, c3 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                   jax.random.PRNGKey(12), interpret=True)
+    np.testing.assert_array_equal(np.asarray(acc1), np.asarray(acc3))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c3))
+
+
 @pytest.mark.slow
 def test_mega_replicas_match(cornell):
     """R lanes/pixel at spp/R each must agree with 1 lane/pixel at spp
