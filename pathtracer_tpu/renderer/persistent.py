@@ -87,14 +87,23 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
             t0 = time.perf_counter()
             n_pix = width * height
             batch_n = pixel_batch or n_pix
-            # lane replicas: small films leave the wavefront dispatch-bound
+            # lane replicas: regen leaves the wavefront dispatch-bound
             # (bounce rounds scale with per-lane spp, not lanes); spawn R
-            # lanes per pixel at spp/R each up to ~1.1M lanes — same
-            # compute, 1/R the rounds (kernels/megakernel.py docstring)
+            # lanes per pixel at spp/R each — same compute, 1/R the rounds
+            # (kernels/megakernel.py docstring). The lane budget is HBM-
+            # cheap (state is 32 rows × 4 B/lane ≈ 128 MB at 1M lanes), so
+            # PT_MEGA_REPLICAS / PT_MEGA_MAX_LANES exist to push full-film
+            # 1080p renders (2.07M lanes) into the replica regime too.
+            import os as _os
+
             replicas = 1
-            if pixel_batch is None:
+            forced = _os.environ.get("PT_MEGA_REPLICAS")
+            max_lanes = int(_os.environ.get("PT_MEGA_MAX_LANES", "1100000"))
+            if forced and min_samples % int(forced) == 0:
+                replicas = max(int(forced), 1)
+            elif pixel_batch is None:
                 for cand in (8, 4, 2):
-                    if min_samples % cand == 0 and n_pix * cand <= 1_100_000:
+                    if min_samples % cand == 0 and n_pix * cand <= max_lanes:
                         replicas = cand
                         break
             films, counters_total = [], None
