@@ -119,6 +119,47 @@ def check_arrangement(results):
     results["arrangement_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
 
 
+def check_dispersive_hwss_furnace(results):
+    """Energy conservation of the Mosaic-compiled spectral-MIS path on
+    chip: a unit furnace with a diamond-Cauchy near-delta sphere under
+    HWSS must hold center/corner ~ 1 (tests/test_spectral_mis.py is the
+    CPU/interpret twin; this one exercises the compiled kernels)."""
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.camera import make_projective_camera
+    from pathtracer_tpu.core import spectral
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.kernels.megakernel import pt_trace_regen_mega
+    from pathtracer_tpu.parsing.builder import SceneBuilder
+
+    b = SceneBuilder()
+    eta = b.add_curve(spectral.CauchyCurve(2.4, 34000.0), name="eta")
+    air = b.add_curve(spectral.FlatCurve(1.0), name="air")
+    kz = b.add_curve(spectral.FlatCurve(0.0), name="kz")
+    mg = b.add_ggx(0.0004, eta, air, kz, permeability=1.0, name="mg")
+    b.add_sphere([0.0, 0.0, 0.0], 0.8, mg)
+    one = b.add_curve(spectral.FlatCurve(1.0), name="one")
+    b.set_environment_constant(one, 1.0)
+    world = b.build()
+    cam = make_projective_camera(
+        look_from=[0.0, -3.0, 0.0], look_at=[0.0, 0.0, 0.0],
+        vfov_degrees=35.0, focal_distance=3.0, aperture_diameter=0.0,
+        aspect_ratio=1.0)
+    s = PTSettings(max_bounces=24, min_bounces=4, light_samples=0,
+                   russian_roulette=False, hwss=True)
+    w = h = 32
+    spp = 64
+    acc, _ = pt_trace_regen_mega(world, cam, s, w, h, spp,
+                                 jax.random.PRNGKey(3))
+    img = (np.asarray(acc)[:, 1] / spp).reshape(h, w)
+    center = img[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean()
+    corner = np.concatenate([img[:3, :3].ravel(), img[-3:, -3:].ravel()]).mean()
+    cc = float(center / corner)
+    results["dispersive_hwss_furnace_cc"] = round(cc, 4)
+    assert abs(cc - 1.0) < 0.1, f"dispersive HWSS furnace c/c {cc:.4f}"
+
+
 def check_bdpt_lt(results):
     import numpy as np
     import jax
@@ -153,6 +194,7 @@ def main():
     for name, fn in [("cornell_golden", check_cornell_golden),
                      ("gem", check_gem),
                      ("arrangement", check_arrangement),
+                     ("dispersive_hwss", check_dispersive_hwss_furnace),
                      ("bdpt_lt", check_bdpt_lt)]:
         t0 = time.perf_counter()
         try:
