@@ -101,9 +101,11 @@ def config_hdri(out):
 
 
 def config_gem(out):
+    # full film: the mega path needs no lane batching and render_regen's
+    # XLA fallback auto-batches >583k lanes itself (489c114)
     mrays, spp_s = _render_pt(
         "/root/reference/data/scenes/cornell_box_diamond_gem.toml", 8,
-        1080, 1080, pixel_batch=1080 * 540)
+        1080, 1080)
     out["gem_1080p_mrays"] = round(mrays, 2)
     out["gem_spp_per_sec"] = round(spp_s, 3)
 
@@ -115,7 +117,7 @@ def config_arrangement(out):
     # worker (PARITY.md), so it is not the benchmarked route.
     mrays, spp_s = _render_pt(
         "data/scenes/diamond_arrangement_instanced.toml", 2, 1080, 1080,
-        pixel_batch=1080 * 270, max_bounces=8)
+        max_bounces=8)
     out["arrangement_1080p_mrays"] = round(mrays, 2)
 
 

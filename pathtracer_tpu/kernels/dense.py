@@ -83,6 +83,77 @@ def pack_prims_np(ptype, valid, pa, pb, pc):
     return tab
 
 
+def chunk_aabb_rows_np(tab, block):
+    """Host: conservative per-`block`-prim-chunk AABBs from a packed
+    [P_pad, 128] table -> [n_chunks_pad8, 128] rows (cols 0-2 = lo,
+    3-5 = hi, rest 0). Appended to the dense table they give the sweeps a
+    flat one-level BVH: a [1, GW] vector slab test + lax.cond skips whole
+    32-prim blocks no ray in the row group can hit (PT_SWEEP_AABB).
+    Empty/padding chunks get inverted boxes that never pass the gate."""
+    import numpy as np
+
+    ptype = tab[:, _C_PTYPE]
+    valid = tab[:, _C_VALID] > 0.5
+    pa = tab[:, _C_PA:_C_PA + 3]
+    pb = tab[:, _C_PB:_C_PB + 3]
+    pc = tab[:, _C_PC:_C_PC + 3]
+    p = tab.shape[0]
+    lo = np.full((p, 3), np.inf, np.float32)
+    hi = np.full((p, 3), -np.inf, np.float32)
+    tri = valid & (ptype == PRIM_TRIANGLE)
+    lo[tri] = np.minimum(np.minimum(pa[tri], pb[tri]), pc[tri])
+    hi[tri] = np.maximum(np.maximum(pa[tri], pb[tri]), pc[tri])
+    sph = valid & (ptype == PRIM_SPHERE)
+    r = pb[:, 0:1]
+    lo[sph] = (pa - np.abs(r))[sph]
+    hi[sph] = (pa + np.abs(r))[sph]
+    rec = valid & (ptype == PRIM_RECT)
+    ext = np.abs(pb) + np.abs(pc)
+    lo[rec] = (pa - ext)[rec]
+    hi[rec] = (pa + ext)[rec]
+    dsk = valid & (ptype == PRIM_DISK)
+    rd = np.abs(pc[:, 0:1])
+    lo[dsk] = (pa - rd)[dsk]
+    hi[dsk] = (pa + rd)[dsk]
+    n_chunks = p // block
+    rows = -(-n_chunks // 8) * 8
+    out = np.zeros((rows, 128), np.float32)
+    out[:, 0:3] = np.inf
+    out[:, 3:6] = -np.inf
+    for c in range(n_chunks):
+        out[c, 0:3] = lo[c * block:(c + 1) * block].min(axis=0)
+        out[c, 3:6] = hi[c * block:(c + 1) * block].max(axis=0)
+    return out
+
+
+def _chunk_gate(tab_ref, row, ox, oy, oz, dx, dy, dz, t_min, t_cap):
+    """Scalar any-lane slab test of a [1, GW] ray tile vs AABB row `row`
+    of the table (cols 0-5). Conservative: padding lanes may pass; a pass
+    only runs the chunk, never changes results."""
+    box = tab_ref[pl.ds(row, 1), :]
+
+    def axis(ci, o, d):
+        lo = box[:, ci:ci + 1]
+        hi = box[:, ci + 3:ci + 4]
+        nz = d != 0.0
+        inv = jnp.where(nz, 1.0 / jnp.where(nz, d, 1.0), 0.0)
+        ta = (lo - o) * inv
+        tb = (hi - o) * inv
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(nz, jnp.minimum(ta, tb),
+                       jnp.where(inside, -jnp.inf, jnp.inf))
+        tf = jnp.where(nz, jnp.maximum(ta, tb),
+                       jnp.where(inside, jnp.inf, -jnp.inf))
+        return tn, tf
+
+    n0, f0 = axis(0, ox, dx)
+    n1, f1 = axis(1, oy, dy)
+    n2, f2 = axis(2, oz, dz)
+    tn = jnp.maximum(jnp.maximum(n0, n1), jnp.maximum(n2, t_min))
+    tf = jnp.minimum(jnp.minimum(f0, f1), jnp.minimum(f2, t_cap))
+    return jnp.any(tn <= tf)
+
+
 def _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max, present=None):
     """t for a [1, GW] ray tile vs a [PB, 1] prim chunk -> [PB, GW].
 
@@ -268,7 +339,7 @@ def chunk_runs(chunk_types, n_chunks):
 
 
 def sweep_rowgroup(tab_ref, block, ox, oy, oz, dx, dy, dz, t_min, t_max,
-                   closest, chunk_types):
+                   closest, chunk_types, aabb_base=None):
     """Reduce ONE [1, GW] ray row-group against every `block`-prim chunk of
     `tab_ref`. closest=True -> (best_t [GW], best_id [GW] f32, -1 on miss
     NOT applied — ids stay +inf for misses); closest=False -> blocked [GW]
@@ -277,9 +348,17 @@ def sweep_rowgroup(tab_ref, block, ox, oy, oz, dx, dy, dz, t_min, t_max,
 
     The per-chunk math and reduction order are IDENTICAL whether a run is
     unrolled or looped, so outputs are bit-identical to the historical
-    fully-unrolled kernels."""
+    fully-unrolled kernels.
+
+    `aabb_base` (static row index; requires chunk_types): the table carries
+    chunk_aabb_rows_np rows appended at that offset — each chunk's prim
+    tests run under lax.cond behind a vector slab test (can any lane beat
+    the carry inside the chunk's box?). Bit-identical by construction: a
+    skipped chunk can contribute neither a strictly-closer t nor an
+    any-hit within t_max."""
     gw = ox.shape[1]
-    n_chunks = tab_ref.shape[0] // block
+    n_chunks = (len(chunk_types) if chunk_types is not None
+                else tab_ref.shape[0] // block)
     if closest:
         carry = (jnp.full((gw,), jnp.inf, jnp.float32),
                  jnp.full((gw,), jnp.inf, jnp.float32))
@@ -301,18 +380,37 @@ def sweep_rowgroup(tab_ref, block, ox, oy, oz, dx, dy, dz, t_min, t_max,
         return jnp.maximum(
             carry, jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0))
 
+    def gated_step(pc_row, base, base_f, read, present, carry):
+        def run(c):
+            return step(dict(vals=_chunk_from_blk(read()), present=present),
+                        base_f, c)
+
+        if aabb_base is None:
+            return run(carry)
+        if closest:
+            t_cap = jnp.minimum(t_max, carry[0][None, :])
+        else:
+            t_cap = jnp.where(carry[None, :] > 0.5, -jnp.inf, t_max)
+        hit = _chunk_gate(tab_ref, pc_row, ox, oy, oz, dx, dy, dz,
+                          t_min, t_cap)
+        return jax.lax.cond(hit, run, lambda c: c, carry)
+
     for c0, n, present in chunk_runs(chunk_types, n_chunks):
         if n < LOOP_MIN:
             for pc in range(c0, c0 + n):
-                blk = tab_ref[pc * block:(pc + 1) * block, :]
-                carry = step(dict(vals=_chunk_from_blk(blk), present=present),
-                             float(pc * block), carry)
+                carry = gated_step(
+                    (aabb_base + pc) if aabb_base is not None else 0,
+                    pc * block, float(pc * block),
+                    lambda pc=pc: tab_ref[pc * block:(pc + 1) * block, :],
+                    present, carry)
         else:
             def body(i, carry, c0=c0, present=present):
                 base = (c0 + i) * block
-                blk = tab_ref[pl.ds(base, block), :]
-                return step(dict(vals=_chunk_from_blk(blk), present=present),
-                            base.astype(jnp.float32), carry)
+                return gated_step(
+                    (aabb_base + c0 + i) if aabb_base is not None else 0,
+                    base, base.astype(jnp.float32),
+                    lambda base=base: tab_ref[pl.ds(base, block), :],
+                    present, carry)
 
             carry = jax.lax.fori_loop(0, n, body, carry)
     return carry

@@ -333,6 +333,16 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         cam_sharp=float(camera.blade_sharpness),
     )
     dense_tab = pack_prims_np(h["ptype"], h["valid"], h["pa"], h["pb"], h["pc"])
+    # chunk-AABB gate (PT_SWEEP_AABB=1): append per-32-prim-chunk AABB rows
+    # so the in-kernel sweeps can lax.cond-skip whole prim blocks no ray in
+    # a row group can hit — a flat one-level BVH evaluated with vector slab
+    # tests (no gathers). Sweep results are bit-identical either way.
+    if _os_.environ.get("PT_SWEEP_AABB"):
+        from pathtracer_tpu.kernels.dense import chunk_aabb_rows_np
+
+        consts["aabb_base"] = dense_tab.shape[0]
+        dense_tab = np.concatenate(
+            [dense_tab, chunk_aabb_rows_np(dense_tab, 32)], axis=0)
     return MegaScene(
         prim_tab=jnp.asarray(tab),
         dense_tab=jnp.asarray(dense_tab),
@@ -559,7 +569,8 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
     o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
     d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
     t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
-                              present_list=consts.get("ct32"))
+                              present_list=consts.get("ct32"),
+                              aabb_base=consts.get("aabb_base"))
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid)
 
@@ -931,7 +942,8 @@ def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
         sd = V3(k2(base + 3), k2(base + 4), k2(base + 5))
         tmax = k2(base + 6)
         blocked.append(_sweep_tiles(dense_ref, so, sd, tmax,
-                                    closest=False, present_list=ct32))
+                                    closest=False, present_list=ct32,
+                                    aabb_base=consts.get("aabb_base")))
     _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
                    blocked=blocked)
 
@@ -1558,7 +1570,8 @@ PBF = 32   # fused-sweep prim block (sublanes)
 GWF = 512  # fused-sweep ray group (lanes)
 
 
-def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None):
+def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None,
+                 aabb_base=None):
     """In-kernel sweep over [SUB, 128] ray tiles (lanes = rays): reshape to
     (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce via
     dense.sweep_rowgroup (long homogeneous chunk runs ride a fori_loop —
@@ -1587,14 +1600,16 @@ def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None):
         if closest:
             best_t, best_id = sweep_rowgroup(
                 dense_ref, PBF, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
-                closest=True, chunk_types=present_list)
+                closest=True, chunk_types=present_list,
+                aabb_base=aabb_base)
             hitf = jnp.isfinite(best_t)
             rows_a.append(best_t)
             rows_b.append(jnp.where(hitf, best_id, -1.0))
         else:
             rows_a.append(sweep_rowgroup(
                 dense_ref, PBF, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
-                closest=False, chunk_types=present_list))
+                closest=False, chunk_types=present_list,
+                aabb_base=aabb_base))
     if closest:
         return (jnp.stack(rows_a).reshape(SUB, 128),
                 jnp.stack(rows_b).reshape(SUB, 128))
@@ -1653,7 +1668,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
 
     # ---- K1: closest hit straight off the live ray state
     t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
-                              present_list=c.get("ct32"))
+                              present_list=c.get("ct32"),
+                              aabb_base=c.get("aabb_base"))
     hit = pid >= 0.0
     pid_c = jnp.maximum(pid, 0.0)
 
@@ -1814,7 +1830,8 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
             # shadow sweep INLINE (K3)
             blocked = _sweep_tiles(dense_ref, so, nee_dir, nee_tmax,
                                    closest=False,
-                                   present_list=c.get("ct32"))
+                                   present_list=c.get("ct32"),
+                                   aabb_base=c.get("aabb_base"))
             ok = worth & ~blocked
             inv_pdf = jnp.where(nee_pdf > 1e-12,
                                 1.0 / jnp.maximum(nee_pdf, 1e-12), 0.0)

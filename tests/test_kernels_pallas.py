@@ -323,6 +323,33 @@ def test_mega_matches_regen_arrangement():
     np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
 
 
+@pytest.mark.slow
+def test_mega_aabb_gate_bitidentical(monkeypatch):
+    """PT_SWEEP_AABB appends chunk-AABB rows and lax.cond-skips prim blocks
+    no ray in a row group can hit. Films must be BIT-IDENTICAL gate on/off:
+    gem exercises the unrolled-chunk gating, the flattened arrangement the
+    fori_loop gating."""
+    for scene, seed in (
+            ("/root/reference/data/scenes/cornell_box_diamond_gem.toml", 3),
+            ("data/scenes/diamond_arrangement_instanced.toml", 4)):
+        b = construct_world(scene, search_paths=["/root/repo", "/root/reference"],
+                            cache_dir="/tmp/pt_cache")
+        cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+        settings = PTSettings(max_bounces=4, min_bounces=1, light_samples=1,
+                              russian_roulette=True)
+        w = h = 20
+        spp = 3
+        monkeypatch.delenv("PT_SWEEP_AABB", raising=False)
+        acc0, c0 = pt_trace_regen_mega(b.world, cam, settings, w, h, spp,
+                                       jax.random.PRNGKey(seed), interpret=True)
+        monkeypatch.setenv("PT_SWEEP_AABB", "1")
+        acc1, c1 = pt_trace_regen_mega(b.world, cam, settings, w, h, spp,
+                                       jax.random.PRNGKey(seed), interpret=True)
+        monkeypatch.delenv("PT_SWEEP_AABB", raising=False)
+        np.testing.assert_array_equal(np.asarray(acc0), np.asarray(acc1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
 def test_mega_multi_round_bitidentical(cornell, monkeypatch):
     """PT_MEGA_ROUNDS=K chains K bounce rounds into one program; same ops,
     same uniform stream -> films bit-identical to the per-round dispatch."""
