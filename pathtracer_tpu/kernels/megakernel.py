@@ -23,8 +23,12 @@ SOFT one-hot over the 512 λ-knots (lerp weights at i0/i0+1) and rides ONE
 CIE x̄ȳz̄ use the closed-form Wyman fits (core/cie.py) directly.
 
 Scope (gated by mega_available): projective thin-lens camera, identity
-transforms, ≤1024 prims, constant environment, 1×1 textures, surface-only,
-≤16 lights, ≤24 materials. Everything else falls back to the XLA path.
+transforms, ≤8192 prims, 1×1 surface textures, surface-only transport,
+≤16 lights, ≤24 materials. Constant, Sun AND HDR environments are covered:
+non-constant env emission / pdf_for / NEE sampling run in XLA inside the
+same dispatched program (they depend only on state rows + the bounce's
+uniforms — see _env_feed) and are fed to the kernel as per-lane rows.
+Everything else falls back to the XLA path.
 RNG is the on-chip Mosaic PRNG (seeded per (seed, kernel, iteration,
 program)), so films agree with the XLA integrator statistically (same
 estimator, different sample sequence) — validated by white-furnace unity
@@ -132,6 +136,8 @@ class MegaScene(NamedTuple):
     light_tab: jnp.ndarray  # f32[16, L_pad]
     spec_tab: jnp.ndarray   # f32[C_pad, 512] rows m*5+{ηi,ηo,κ,refl,emit}, env last
     consts: dict            # host-side scalars baked into kernel closures
+    env_args: object        # None (constant env) or (Environment, CurveBank,
+                            # Textures) pytree for the XLA env feed (_env_feed)
 
 
 # prim_tab extra rows (0..10 are dense.py's)
@@ -152,7 +158,7 @@ _NL_ROWS = 16
 def mega_available(world, camera, settings) -> bool:
     """Static scene/settings preconditions for the megakernel."""
     from pathtracer_tpu.camera.projective import ProjectiveCamera
-    from pathtracer_tpu.world.environment import ENV_CONSTANT
+    from pathtracer_tpu.world.environment import ENV_CONSTANT, ENV_HDR
 
     if not isinstance(camera, ProjectiveCamera):
         return False
@@ -165,17 +171,27 @@ def mega_available(world, camera, settings) -> bool:
         return False
     if w.prims.count > MEGA_MAX_PRIMS:
         return False
-    if int(w.env.kind) != ENV_CONSTANT:
-        return False
     if int(w.mats.count) > 24:
         return False
     if int(w.n_lights) > 16:
         return False
-    # all textures must be single-layer 1x1 (flat spectral colors)
+    # surface textures must be single-layer 1x1 (flat spectral colors);
+    # an HDR environment's equirect texture is exempt — its emission/pdf
+    # are evaluated in XLA and fed per lane (_env_feed), never in-kernel
     t = w.tex
-    if not (np.asarray(t.layer_count) == 1).all():
+    lc = np.asarray(t.layer_count)
+    lstart = np.asarray(t.layer_start)
+    lw = np.asarray(t.layer_w)
+    lh = np.asarray(t.layer_h)
+    tex_ok = np.ones(lc.shape[0], bool)
+    layer_ok = np.ones(lw.shape[0], bool)
+    if int(w.env.kind) == ENV_HDR:
+        eid = int(w.env.tex_id)
+        tex_ok[eid] = False
+        layer_ok[int(lstart[eid]):int(lstart[eid]) + int(lc[eid])] = False
+    if not (lc[tex_ok] == 1).all():
         return False
-    if not ((np.asarray(t.layer_w) == 1).all() and (np.asarray(t.layer_h) == 1).all()):
+    if not ((lw[layer_ok] == 1).all() and (lh[layer_ok] == 1).all()):
         return False
     if int(w.bank.values.shape[1]) != SPEC_RES:
         return False
@@ -306,7 +322,11 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         p_env = 1.0  # pt_regen.py:49 — no instance lights -> env-only NEE
     import os as _os_
 
+    from pathtracer_tpu.world.environment import ENV_CONSTANT as _ENV_CONST
+
+    env_kind = int(w.env.kind)
     consts = dict(
+        env_kind=env_kind,
         spec_f32=bool(_os_.environ.get("PT_MEGA_SPEC_F32")),
         ct8=ct8,
         ct32=ct32,
@@ -350,6 +370,10 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         light_tab=jnp.asarray(lt),
         spec_tab=jnp.asarray(st),
         consts=consts,
+        # HDR/Sun envs: emission / pdf_for / sample_uv run in XLA inside the
+        # same dispatched program (they depend only on state rows + the
+        # bounce's uniforms) and are fed to the kernel as ef rows
+        env_args=None if env_kind == _ENV_CONST else (w.env, w.bank, w.tex),
     )
 
 
@@ -376,6 +400,51 @@ def _n_u_rows(light_samples):
 
 
 NU4 = 8  # K4's uniform rows: 1 (RR) + 5 (respawn), padded
+
+
+def _ef_rows(light_samples, c_lanes):
+    """Env-feed rows (HDR/Sun envs only): C escape-emission rows + 1
+    escape-pdf row, then per NEE sample dir(3) + pdf(1) + C emission rows;
+    sublane-padded."""
+    return -(-((c_lanes + 1) + light_samples * (4 + c_lanes)) // 8) * 8
+
+
+def _env_feed(env_args, state, u, light_samples, c_lanes):
+    """XLA-side environment feed for non-constant envs.
+
+    Everything the kernel needs from an HDR/Sun environment is computable
+    OUTSIDE the pallas call, inside the same dispatched program: the escape
+    emission/pdf depend only on the lane's current ray direction (state
+    rows S_D — the sweep never changes d), and the NEE env sample depends
+    only on this bounce's uniform rows. So the tested XLA environment
+    module (world/environment.py: env_emission / env_pdf_for /
+    env_sample_uv — equirect texel atlas, 2-level importance-map inverse
+    transform, sun cap) produces per-lane rows the kernel just reads —
+    estimator-identical to the XLA wavefront by construction, and no
+    in-kernel texel gathers (which don't lower under Mosaic anyway).
+    """
+    from pathtracer_tpu.world.environment import (
+        env_emission,
+        env_pdf_for,
+        env_sample_uv,
+    )
+
+    env, bank, tex = env_args
+    n_pad = state.shape[1]
+    d = state[S_D:S_D + 3].T  # [n, 3]
+    lam = [state[S_LAM + ci] for ci in range(c_lanes)]
+    rows = [env_emission(env, bank, tex, d, lam[ci]) for ci in range(c_lanes)]
+    rows.append(env_pdf_for(env, d))
+    for si in range(light_samples):
+        nd, npdf = env_sample_uv(env, u[3 * si + 1], u[3 * si + 2])
+        rows += [nd[:, 0], nd[:, 1], nd[:, 2], npdf]
+        rows += [env_emission(env, bank, tex, nd, lam[ci])
+                 for ci in range(c_lanes)]
+    ef = jnp.stack(rows).astype(jnp.float32)
+    pad = _ef_rows(light_samples, c_lanes) - ef.shape[0]
+    if pad:
+        ef = jnp.concatenate([ef, jnp.zeros((pad, n_pad), jnp.float32)])
+    return ef
 
 
 def _sel_rows(mat_prod, ids, rows, n, stride=1, base=0):
@@ -552,19 +621,22 @@ def _hit_attributes(attr, o, d, t):
 
 def _shade_kernel(consts, settings,
                   u_ref, state_ref, tp_ref, prim_ref, mat_ref, light_ref,
-                  spec_ref, out_ref):
+                  spec_ref, *rest):
+    ef_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref,
-                t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]))
+                t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]),
+                ef_ref=ef_ref)
 
 
 def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
-                        prim_ref, mat_ref, light_ref, spec_ref, out_ref):
+                        prim_ref, mat_ref, light_ref, spec_ref, *rest):
     """K1+K2 fused: the closest-hit sweep runs INLINE (dense-table chunks
     in VMEM, _sweep_tiles) and feeds straight into the shade body — with
     the K3xls+K4 fusion this makes the bounce round exactly TWO dispatched
     programs on a tunnel whose per-program dispatch latency exceeds each
     kernel's device compute at 1080p."""
+    ef_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
     s = lambda i: _tile(state_ref[i, :])
     o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
     d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
@@ -572,7 +644,8 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
                               present_list=consts.get("ct32"),
                               aabb_base=consts.get("aabb_base"))
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
-                light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid)
+                light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid,
+                ef_ref=ef_ref)
 
 
 _ONEHOT_MAX = 1024   # single-matmul prim fetch up to here (programs for
@@ -615,10 +688,11 @@ def _prim_attr_fetch(prim_ref, pid_c):
 
 
 def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
-                light_ref, spec_ref, out_ref, t_hit, pid):
+                light_ref, spec_ref, out_ref, t_hit, pid, ef_ref=None):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
+    env_kind = c.get("env_kind", 0)  # static; != 0 => ef_ref rows are fed
     nee_enabled = ls > 0
     p_env = c["p_env"]
     n_mats = c["n_mats"]
@@ -668,23 +742,28 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
 
     env_row = 5 * n_mats
 
-    # ---- escape: constant-env emission (env_emission, world/environment.py)
+    # ---- escape: env emission (env_emission, world/environment.py)
     escaped = alive & ~hit
-    # constant env NEE pdf for MIS (uniform-uv sampling over the sphere)
     if nee_enabled and p_env > 0.0:
-        # env_pdf_for applies env.rotation to d; for a constant env the pdf
-        # depends only on v of the rotated direction
-        er = c["env_rot"]
-        dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
-        v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
-        jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
-        env_nee_pdf = (1.0 / jac) * p_env
+        if env_kind != 0:
+            # HDR/Sun: solid-angle pdf_for(d) computed in XLA and fed
+            env_nee_pdf = _tile(ef_ref[C, :]) * p_env
+        else:
+            # constant env NEE pdf for MIS (uniform-uv over the sphere);
+            # env_pdf_for applies env.rotation to d; the pdf depends only
+            # on v of the rotated direction
+            er = c["env_rot"]
+            dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
+            v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
+            jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
+            env_nee_pdf = (1.0 / jac) * p_env
         use_mis_env = (bounce_ct > 0.5) & (env_nee_pdf + prev_pdf > 0.0)
         w_env = jnp.where(use_mis_env, _balance(prev_pdf, jnp.maximum(env_nee_pdf, 0.0)), 1.0)
     else:
         w_env = jnp.ones((SUB, 128), jnp.float32)
     for ci in range(C):
-        env_e = _tile(R[ci][env_row, :])
+        env_e = (_tile(ef_ref[ci, :]) if env_kind != 0
+                 else _tile(R[ci][env_row, :]))
         rad[ci] = rad[ci] + jnp.where(escaped,
                                       beta[ci] * s_mis * env_e * w_env, 0.0)
     env_ct = escaped.astype(jnp.float32)
@@ -773,16 +852,25 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             sa_pdf_light = (1.0 - p_env) * lp_pdf * area_pdf * jnp.where(
                 jnp.abs(cos_l) > 0.0, dist2 / jnp.maximum(jnp.abs(cos_l), 1e-30), 0.0)
             if p_env > 0.0:
-                # constant-env NEE: uniform-uv direction (env_sample_uv)
-                env_d_uv = cmath.uv_to_direction(u1, u2)
-                ri = c["env_rot_inv"]
-                env_dir = V3(
-                    ri[0] * env_d_uv.x + ri[1] * env_d_uv.y + ri[2] * env_d_uv.z,
-                    ri[3] * env_d_uv.x + ri[4] * env_d_uv.y + ri[5] * env_d_uv.z,
-                    ri[6] * env_d_uv.x + ri[7] * env_d_uv.y + ri[8] * env_d_uv.z,
-                )
-                jac_s = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * u2) + 0.001
-                sa_pdf_env = (1.0 / jac_s) * p_env
+                if env_kind != 0:
+                    # HDR/Sun NEE sample: direction + solid-angle pdf from
+                    # env_sample_uv on THIS sample's (u1, u2) rows, fed
+                    ebase = C + 1 + si * (4 + C)
+                    env_dir = V3(_tile(ef_ref[ebase + 0, :]),
+                                 _tile(ef_ref[ebase + 1, :]),
+                                 _tile(ef_ref[ebase + 2, :]))
+                    sa_pdf_env = _tile(ef_ref[ebase + 3, :]) * p_env
+                else:
+                    # constant-env NEE: uniform-uv direction (env_sample_uv)
+                    env_d_uv = cmath.uv_to_direction(u1, u2)
+                    ri = c["env_rot_inv"]
+                    env_dir = V3(
+                        ri[0] * env_d_uv.x + ri[1] * env_d_uv.y + ri[2] * env_d_uv.z,
+                        ri[3] * env_d_uv.x + ri[4] * env_d_uv.y + ri[5] * env_d_uv.z,
+                        ri[6] * env_d_uv.x + ri[7] * env_d_uv.y + ri[8] * env_d_uv.z,
+                    )
+                    jac_s = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * u2) + 0.001
+                    sa_pdf_env = (1.0 / jac_s) * p_env
                 nee_dir = cmath.where(chose_env, env_dir, dir_l)
                 nee_pdf = jnp.where(chose_env, sa_pdf_env, sa_pdf_light)
                 nee_tmax = jnp.where(chose_env, RAY_TMAX, dist * 0.99)
@@ -806,7 +894,8 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 le_inst = _emission_value(spd_l, l_mtype, l_side, l_sharp,
                                           cos_l, has_sharp=c["has_sharp"])
                 if p_env > 0.0:
-                    env_e_s = _tile(R[ci][env_row, :])
+                    env_e_s = (_tile(ef_ref[C + 1 + si * (4 + C) + 4 + ci, :])
+                               if env_kind != 0 else _tile(R[ci][env_row, :]))
                     le_ci = jnp.where(chose_env, env_e_s, le_inst)
                 else:
                     le_ci = le_inst
@@ -1141,29 +1230,34 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
     nu = _n_u_rows(ls)
     u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
                         (nu, n_pad))
+    ins = [u, state, tp, prim_tab, mat_tab, light_tab, spec_tab]
+    in_specs = [
+        _row_spec(nu),
+        _row_spec(NS),
+        _row_spec(8),
+        _full_block_spec(prim_tab),
+        _full_block_spec(mat_tab),
+        _full_block_spec(light_tab),
+        _full_block_spec(spec_tab),
+    ]
+    if env_args is not None:
+        ins.append(_env_feed(env_args, state, u, ls, settings["c_lanes"]))
+        in_specs.append(_row_spec(_ef_rows(ls, settings["c_lanes"])))
     return pl.pallas_call(
         functools.partial(_shade_kernel, consts, settings),
         grid=(n_pad // TILE,),
-        in_specs=[
-            _row_spec(nu),
-            _row_spec(NS),
-            _row_spec(8),
-            _full_block_spec(prim_tab),
-            _full_block_spec(mat_tab),
-            _full_block_spec(light_tab),
-            _full_block_spec(spec_tab),
-        ],
+        in_specs=in_specs,
         out_specs=_row_spec(nk2),
         out_shape=jax.ShapeDtypeStruct((nk2, n_pad), jnp.float32),
         interpret=interp,
-    )(u, state, tp, prim_tab, mat_tab, light_tab, spec_tab)
+    )(*ins)
 
 
 @functools.partial(
@@ -1177,29 +1271,34 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
     nu = _n_u_rows(ls)
     u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
                         (nu, n_pad))
+    ins = [u, state, dense_tab, prim_tab, mat_tab, light_tab, spec_tab]
+    in_specs = [
+        _row_spec(nu),
+        _row_spec(NS),
+        _full_block_spec(dense_tab),
+        _full_block_spec(prim_tab),
+        _full_block_spec(mat_tab),
+        _full_block_spec(light_tab),
+        _full_block_spec(spec_tab),
+    ]
+    if env_args is not None:
+        ins.append(_env_feed(env_args, state, u, ls, settings["c_lanes"]))
+        in_specs.append(_row_spec(_ef_rows(ls, settings["c_lanes"])))
     return pl.pallas_call(
         functools.partial(_shade_sweep_kernel, consts, settings),
         grid=(n_pad // TILE,),
-        in_specs=[
-            _row_spec(nu),
-            _row_spec(NS),
-            _full_block_spec(dense_tab),
-            _full_block_spec(prim_tab),
-            _full_block_spec(mat_tab),
-            _full_block_spec(light_tab),
-            _full_block_spec(spec_tab),
-        ],
+        in_specs=in_specs,
         out_specs=_row_spec(nk2),
         out_shape=jax.ShapeDtypeStruct((nk2, n_pad), jnp.float32),
         interpret=interp,
-    )(u, state, dense_tab, prim_tab, mat_tab, light_tab, spec_tab)
+    )(*ins)
 
 
 @functools.partial(
@@ -1482,7 +1581,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         wb_span=float(wb.span),
     )
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab)
+            scene.spec_tab, scene.env_args)
     settings_t = _freeze(settings_d)
     consts_t = _freeze(scene.consts)
 
@@ -1500,7 +1599,8 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # within 30 min (the split kernels compile in seconds) — opt in with
     # PT_MEGA_FUSED=1 on toolchains where it compiles
     rounds_per_prog = max(int(_os.environ.get("PT_MEGA_ROUNDS", "1")), 1)
-    step_fn = (_step_fused if _os.environ.get("PT_MEGA_FUSED")
+    fused_ok = _os.environ.get("PT_MEGA_FUSED") and scene.env_args is None
+    step_fn = (_step_fused if fused_ok
                else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
                else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
                else functools.partial(_mega_step_multi,
@@ -2037,7 +2137,10 @@ def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
+    assert env_args is None, (
+        "fused single-dispatch round does not support HDR/Sun environments "
+        "(pt_trace_regen_mega routes them to the split pipeline)")
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nu = _nu_fused(ls)

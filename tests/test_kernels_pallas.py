@@ -393,3 +393,198 @@ def test_mega_replicas_match(cornell):
     c1, c4 = np.asarray(c1), np.asarray(c4)
     # same camera-sample budget: spp * n_pix rays either way
     np.testing.assert_allclose(c4[c1 > 0], c1[c1 > 0], rtol=0.05)
+
+
+# ------------------------------------------------- HDR / Sun environments
+
+SP = ["/root/repo", "/root/reference"]
+
+
+@pytest.fixture(scope="module")
+def hdri_bundle():
+    return construct_world("data/scenes/hdri_blob_test.toml",
+                           search_paths=SP, cache_dir="/tmp/pt_cache")
+
+
+def test_mega_gate_hdri(hdri_bundle):
+    """HDR-env scenes ride the megakernel: the env texture is exempt from
+    the 1x1 surface-texture gate (its emission/pdf/sampling run in XLA and
+    are fed per lane — megakernel._env_feed)."""
+    settings = PTSettings(max_bounces=4, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    cam = build_camera(hdri_bundle.camera_by_id("main"), aspect_ratio=1.0)
+    assert mega_available(hdri_bundle.world, cam, settings)
+    scene = build_mega_scene(hdri_bundle.world, cam, settings)
+    assert scene.env_args is not None
+    assert scene.consts["env_kind"] == 2  # ENV_HDR
+    assert np.isfinite(np.asarray(scene.spec_tab)).all()
+
+
+@pytest.mark.slow
+def test_mega_matches_regen_hdri(hdri_bundle):
+    """Megakernel vs XLA regen on the HDR blob scene (hero-wavelength C=4:
+    covers the per-channel ef emission rows). The blob film is smooth and
+    env-dominated, so counters AND film means are statistically meaningful
+    at 8 spp (unlike the caustic gem/arrangement scenes)."""
+    w = h = 32
+    spp = 8
+    cam = build_camera(hdri_bundle.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
+                          russian_roulette=True, hwss=True)
+    acc_m, c_m = pt_trace_regen_mega(hdri_bundle.world, cam, settings, w, h,
+                                     spp, jax.random.PRNGKey(21),
+                                     interpret=True)
+    acc_r, c_r = pt_trace_regen(hdri_bundle.world, cam, settings, w, h, spp,
+                                jax.random.PRNGKey(22))
+    assert np.isfinite(np.asarray(acc_m)).all()
+    am = np.asarray(acc_m).mean(axis=0) / spp
+    ar = np.asarray(acc_r).mean(axis=0) / spp
+    np.testing.assert_allclose(am, ar, rtol=0.2)
+    c_m, c_r = np.asarray(c_m), np.asarray(c_r)
+    nz = c_r > 0
+    np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
+
+
+def _write_const_hdr(path, h=16, w=32):
+    """Flat-scanline Radiance RGBE file, every texel exactly 1.0
+    (mantissa 128, exponent 129: 128 * 2^(129-136) = 1)."""
+    rgbe = np.empty((h, w, 4), np.uint8)
+    rgbe[..., :3] = 128
+    rgbe[..., 3] = 129
+    header = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+              + f"-Y {h} +X {w}\n".encode())
+    with open(path, "wb") as f:
+        f.write(header + rgbe.tobytes())
+
+
+_HDR_FURNACE_TOML = """
+curves = "data/lib_curves.toml"
+env_sampling_probability = 1.0
+[environment]
+type = "HDRI"
+strength = 1.0
+texture_name = "const_env"
+[environment.importance_map]
+width = 32
+height = 16
+cache = false
+
+[[instances]]
+material_name = "white"
+[instances.aggregate]
+type = "Sphere"
+radius = 1.0
+origin = [0.0, 0.0, 0.0]
+
+[[cameras]]
+type = "SimpleCamera"
+name = "main"
+look_from = [-5.0, 0.0, 0.0]
+look_at = [0.0, 0.0, 0.0]
+aperture_diameter = 0.0
+aperture = { type = "Circular" }
+focal_distance = 5.0
+vfov = 20.0
+
+[textures.const_env]
+type = "HDR"
+filename = "{hdr}"
+alpha_fill = 0.0
+curves = ["srgb_r", "srgb_g", "srgb_b", "flat_zero"]
+
+[textures.white_tex]
+type = "Texture1"
+filename = "data/textures/single_pixel.png"
+curve = "flat_one"
+
+[materials.white]
+type = "Lambertian"
+texture_id = "white_tex"
+"""
+
+
+@pytest.mark.slow
+def test_mega_hdr_furnace(tmp_path):
+    """Analytic check of the whole HDR env feed: a CONSTANT-valued HDR map
+    behind the full machinery (equirect texel eval, importance-map bake +
+    2-level inverse transform, MIS vs BSDF escapes) around a unit-albedo
+    sphere. Sphere pixels (center) must equal direct-env pixels (corners)
+    exactly in expectation, whatever the upsampled env spectrum is."""
+    hdr = tmp_path / "const.hdr"
+    _write_const_hdr(str(hdr))
+    toml = tmp_path / "furnace_hdr.toml"
+    toml.write_text(_HDR_FURNACE_TOML.replace("{hdr}", str(hdr)))
+    bundle = construct_world(str(toml), search_paths=SP,
+                             cache_dir="/tmp/pt_cache")
+    cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=10, min_bounces=3, light_samples=2,
+                          russian_roulette=True)
+    assert mega_available(bundle.world, cam, settings)
+    w = h = 32
+    spp = 48
+    acc, _ = pt_trace_regen_mega(bundle.world, cam, settings, w, h, spp,
+                                 jax.random.PRNGKey(31), interpret=True)
+    y = np.asarray(acc)[:, 1].reshape(h, w) / spp
+    assert np.isfinite(y).all()
+    center = y[h // 2 - 4:h // 2 + 4, w // 2 - 4:w // 2 + 4].mean()
+    corner = np.concatenate([y[:3, :3].ravel(), y[-3:, -3:].ravel()]).mean()
+    assert abs(center / corner - 1.0) < 0.05, (center, corner)
+
+
+_SUN_TOML = """
+curves = "data/lib_curves.toml"
+textures = "data/lib_textures.toml"
+materials = "data/lib_materials.toml"
+env_sampling_probability = 1.0
+[environment]
+type = "Sun"
+strength = 4.0
+color = "flat_one"
+sun_direction = [0.3, 0.2, 1.0]
+angular_diameter = 0.6
+
+[[instances]]
+material_name = "lambertian_white"
+[instances.aggregate]
+type = "Sphere"
+radius = 1.0
+origin = [0.0, 0.0, 0.0]
+
+[[cameras]]
+type = "SimpleCamera"
+name = "main"
+look_from = [-5.0, 0.0, 0.0]
+look_at = [0.0, 0.0, 0.0]
+aperture_diameter = 0.0
+aperture = { type = "Circular" }
+focal_distance = 5.0
+vfov = 20.0
+"""
+
+
+@pytest.mark.slow
+def test_mega_matches_regen_sun(tmp_path):
+    """Sun (cap) environment through the megakernel vs the XLA regen
+    integrator: the fed rows carry cap-sampled NEE directions/pdfs and
+    cap-gated escape emission."""
+    toml = tmp_path / "sun.toml"
+    toml.write_text(_SUN_TOML)
+    bundle = construct_world(str(toml), search_paths=SP,
+                             cache_dir="/tmp/pt_cache")
+    cam = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    assert mega_available(bundle.world, cam, settings)
+    w = h = 32
+    spp = 16
+    acc_m, c_m = pt_trace_regen_mega(bundle.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(41), interpret=True)
+    acc_r, c_r = pt_trace_regen(bundle.world, cam, settings, w, h, spp,
+                                jax.random.PRNGKey(42))
+    assert np.isfinite(np.asarray(acc_m)).all()
+    am = np.asarray(acc_m).mean(axis=0) / spp
+    ar = np.asarray(acc_r).mean(axis=0) / spp
+    np.testing.assert_allclose(am, ar, rtol=0.25)
+    c_m, c_r = np.asarray(c_m), np.asarray(c_r)
+    nz = c_r > 0
+    np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.1)

@@ -45,7 +45,7 @@ def main():
     settings_t = mk._freeze(settings_d)
     consts_t = mk._freeze(scene.consts)
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab)
+            scene.spec_tab, scene.env_args)
     key = jax.random.PRNGKey(0)
     state0, counters0 = mk._mega_init(cam, key, settings_t, n, n_pad)
     k_iter = sampling.fold(key, 2)

@@ -46,7 +46,7 @@ def main():
     settings_t = mk._freeze(settings_d)
     consts_t = mk._freeze(scene.consts)
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab)
+            scene.spec_tab, scene.env_args)
     dense_tab = scene.dense_tab
     key = jax.random.PRNGKey(0)
     state0, counters0 = mk._mega_init(cam, key, settings_t, n, n_pad)

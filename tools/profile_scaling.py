@@ -52,7 +52,7 @@ def main():
     scene = mk.build_mega_scene(b.world, cam, settings)
     wb = settings.wavelength_bounds
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab)
+            scene.spec_tab, scene.env_args)
     consts_t = mk._freeze(scene.consts)
     key = jax.random.PRNGKey(0)
     k_iter = sampling.fold(key, 2)

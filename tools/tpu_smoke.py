@@ -160,7 +160,35 @@ def check_dispersive_hwss_furnace(results):
     assert abs(cc - 1.0) < 0.1, f"dispersive HWSS furnace c/c {cc:.4f}"
 
 
+def check_hdri(results):
+    """HDR-env megakernel pass on chip: the env feed rows (XLA emission /
+    pdf_for / importance-sampled NEE directions computed inside the same
+    dispatched program — kernels/megakernel._env_feed) are a new Mosaic
+    input surface; CPU/interpret twins live in tests/test_kernels_pallas.py
+    (test_mega_matches_regen_hdri, test_mega_hdr_furnace)."""
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.kernels.megakernel import mega_available
+    from pathtracer_tpu.renderer.persistent import render_regen
+
+    b = _world("data/scenes/hdri_blob_test.toml")
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
+                          russian_roulette=True)
+    assert mega_available(b.world, cam, settings), "hdri outside mega gate"
+    film, prof, el = render_regen(b.world, cam, settings, 128, 128, 8,
+                                  key=jax.random.PRNGKey(17))
+    film = np.asarray(film)
+    assert np.isfinite(film).all(), "hdri film non-finite"
+    assert film.mean() > 0, "hdri film black"
+    results["hdri_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
+
+
 def check_bdpt_lt(results):
+
     import numpy as np
     import jax
 
@@ -195,6 +223,7 @@ def main():
                      ("gem", check_gem),
                      ("arrangement", check_arrangement),
                      ("dispersive_hwss", check_dispersive_hwss_furnace),
+                     ("hdri", check_hdri),
                      ("bdpt_lt", check_bdpt_lt)]:
         t0 = time.perf_counter()
         try:
