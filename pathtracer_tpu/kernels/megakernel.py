@@ -76,6 +76,42 @@ from pathtracer_tpu.utils import profile as prof
 
 TILE = 2048  # lanes per K2/K4 grid step (VMEM-bounded: the λ soft-onehot
              # is [512, TILE] f32 = 4 MB; K1/K3 keep their own RAY_TILE)
+
+
+def _mega_jit(**jit_kw):
+    """jax.jit for the pallas-bearing mega programs, with a raised
+    xla_tpu_scoped_vmem_limit_kib on TPU backends.
+
+    The 2026-08-18 tunnel AOT compiler enforces a 16 MiB scoped-vmem
+    budget on Mosaic kernel stack frames; the inline-sweep shade kernel's
+    unrolled per-chunk temporaries exceed it on multi-chunk scenes (gem:
+    26.3 MiB at 10 chunks -> "Ran out of memory in memory space vmem ...
+    allocating on stack"). v5e has 128 MiB of physical VMEM; the budget is
+    a compiler knob, not a hardware limit, so raise it for these programs
+    only (PT_SCOPED_VMEM_KIB overrides; CPU/interpret builds must not see
+    TPU-only options, hence the lazy backend check)."""
+    def deco(fn):
+        cache: dict = {}
+
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            jitted = cache.get("f")
+            if jitted is None:
+                opts = None
+                try:
+                    if jax.default_backend() != "cpu":
+                        import os as _os
+                        kib = _os.environ.get("PT_SCOPED_VMEM_KIB", "65536")
+                        opts = {"xla_tpu_scoped_vmem_limit_kib": kib}
+                except Exception:
+                    opts = None
+                jitted = jax.jit(fn, compiler_options=opts, **jit_kw)
+                cache["f"] = jitted
+            return jitted(*a, **k)
+
+        return wrapper
+
+    return deco
 SUB = TILE // 128  # sublane count of a [SUB, 128] full-tile op
 C_LANES = 4  # HWSS lanes
 
@@ -1220,10 +1256,7 @@ def _row_spec(rows):
     return pl.BlockSpec((rows, TILE), lambda i: (0, i))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
     import jax.random as jrandom
 
@@ -1260,10 +1293,7 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
     )(*ins)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     """Closest-hit sweep + shading as ONE dispatched program (K1+K2 fused)."""
     import jax.random as jrandom
@@ -1301,10 +1331,7 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     )(*ins)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
              interpret):
     import jax.random as jrandom
@@ -1337,10 +1364,7 @@ def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
     return state_out, counters, it_dev + 1
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
               consts_t, interpret):
     """Shadow sweeps + finalize as ONE dispatched program (K3xls+K4 fused)."""
@@ -1397,10 +1421,7 @@ def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
                      consts_t, interpret)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
                      consts_t, interpret):
     """One bounce round as ONE dispatched program holding TWO pallas
@@ -1417,10 +1438,7 @@ def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
                      consts_t, interpret)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret", "rounds"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret", "rounds",))
 def _mega_step_multi(state, counters, it_dev, tabs, key, settings_t,
                      consts_t, interpret, rounds):
     """`rounds` bounce rounds chained in ONE dispatched program (2·rounds
@@ -2124,10 +2142,7 @@ def _nu_fused(light_samples):
     return -(-(3 * light_samples + 9) // 8) * 8
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("settings_t", "consts_t", "interpret"),
-)
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
                 interpret):
     """One bounce round = ONE dispatched program (uniform draw + one fused
