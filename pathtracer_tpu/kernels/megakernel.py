@@ -109,6 +109,10 @@ def _mega_jit(**jit_kw):
                 cache["f"] = jitted
             return jitted(*a, **k)
 
+        # compiler_options is only legal on TOP-LEVEL jits: variants that
+        # pack several kernels into one program (_mega_step_1prog,
+        # _mega_step_multi) must inline the undecorated body instead.
+        wrapper.raw = fn
         return wrapper
 
     return deco
@@ -1433,8 +1437,8 @@ def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
     2x wall clock once the compile is amortized (it is cached per
     process and — via the terminal's compile cache — across runs)."""
     dense_tab = tabs[1]
-    k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret)
-    return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
+    k2 = _k12_call.raw(state, tabs, key, it_dev, settings_t, consts_t, interpret)
+    return _k34_call.raw(state, k2, dense_tab, counters, key, it_dev, settings_t,
                      consts_t, interpret)
 
 
@@ -1451,9 +1455,9 @@ def _mega_step_multi(state, counters, it_dev, tabs, key, settings_t,
     rounds per sync."""
     dense_tab = tabs[1]
     for _ in range(rounds):
-        k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t,
+        k2 = _k12_call.raw(state, tabs, key, it_dev, settings_t, consts_t,
                        interpret)
-        state, counters, it_dev = _k34_call(
+        state, counters, it_dev = _k34_call.raw(
             state, k2, dense_tab, counters, key, it_dev, settings_t,
             consts_t, interpret)
     return state, counters, it_dev
