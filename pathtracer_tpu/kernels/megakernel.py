@@ -1553,7 +1553,10 @@ def _freeze(d):
 
 
 _SCENE_CACHE: dict = {}
-ALIVE_CHECK_EVERY = 12  # host syncs (tunnel RTT ~35ms) amortised over steps
+ALIVE_CHECK_EVERY = 12  # blocking-sync cadence (compaction path only)
+ALIVE_CHECK_ASYNC = 4   # pipelined-check cadence: issues are ~free (tiny
+                        # program, async dispatch) and reads happen one
+                        # interval later so the RTT hides behind compute
 
 
 def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
@@ -1643,17 +1646,19 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     parked = []
     m = n_pad
     compact = bool(_os.environ.get("PT_MEGA_COMPACT"))
-    calls_per_sync = max(ALIVE_CHECK_EVERY // rounds_per_prog, 1)
-    while it < max_iters:
-        for _ in range(calls_per_sync):
-            state, counters, it_dev = step_fn(
-                state, counters, it_dev, tabs, k_iter, settings_t, consts_t,
-                interpret)
-            it += rounds_per_prog
-        alive = float(np.asarray(_alive_count(state)))
-        if alive == 0.0:
-            break
-        if compact:
+    if compact:
+        # the compaction ladder needs a CURRENT population, so its checks
+        # stay blocking (opt-in path; measured a loss at bench spp anyway)
+        calls_per_sync = max(ALIVE_CHECK_EVERY // rounds_per_prog, 1)
+        while it < max_iters:
+            for _ in range(calls_per_sync):
+                state, counters, it_dev = step_fn(
+                    state, counters, it_dev, tabs, k_iter, settings_t,
+                    consts_t, interpret)
+                it += rounds_per_prog
+            alive = float(np.asarray(_alive_count(state)))
+            if alive == 0.0:
+                break
             m_new = m
             while m_new > step and alive <= (m_new // 2):
                 m_new = -(-(m_new // 2) // step) * step
@@ -1661,6 +1666,34 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                 state, tail = _compact(state, m_new)
                 parked.append(tail)
                 m = m_new
+    else:
+        # pipelined termination checks: every blocking alive fetch stalls a
+        # full tunnel RTT (~35 ms vs ~8 ms/round of device compute), so the
+        # loop used to spend ~20% of wall clock waiting on scalars. Instead
+        # ISSUE a tiny alive-count program every ALIVE_CHECK_ASYNC rounds
+        # and only READ a future one interval later — by then the device
+        # has executed another interval of rounds and the scalar has long
+        # since landed host-side, so the read returns without stalling.
+        # Termination is still exact (break on the first zero count); the
+        # only cost is up to one extra interval of all-dead rounds, which
+        # are cheaper than the stalls they replace.
+        calls_per_sync = max(ALIVE_CHECK_ASYNC // rounds_per_prog, 1)
+        pending: list = []  # (it_at_issue, device scalar future)
+        stop = False
+        while it < max_iters and not stop:
+            for _ in range(calls_per_sync):
+                state, counters, it_dev = step_fn(
+                    state, counters, it_dev, tabs, k_iter, settings_t,
+                    consts_t, interpret)
+                it += rounds_per_prog
+            pending.append((it, _alive_count(state)))
+            while pending and (it - pending[0][0] >=
+                               calls_per_sync * rounds_per_prog
+                               or len(pending) > 3):
+                _, fut = pending.pop(0)
+                if float(np.asarray(fut)) == 0.0:
+                    stop = True
+                    break
     if parked:
         parked.append(_acc_rows(state))
         # assemble by owning pixel: every lane's acc rows land at pix-start

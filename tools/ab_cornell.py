@@ -36,8 +36,8 @@ def run(tag, env_1prog, replicas, rounds=None):
         os.environ["PT_MEGA_ROUNDS"] = str(rounds)
     else:
         os.environ.pop("PT_MEGA_ROUNDS", None)
-    # warm (compile)
-    acc, ct = pt_trace_regen_mega(c.world, cam, s, W, H, 1,
+    # warm (compile) — spp must be divisible by replicas
+    acc, ct = pt_trace_regen_mega(c.world, cam, s, W, H, replicas,
                                   jax.random.PRNGKey(0), replicas=replicas)
     np.asarray(acc)
     t0 = time.perf_counter()

@@ -41,7 +41,7 @@ def main():
     settings_d = dict(
         c_lanes=1, light_samples=2, spp=12.0, max_bounces=12.0,
         min_bounces=1.0, russian_roulette=True, only_direct=False,
-        width=1080.0, height=1080.0, start=0.0,
+        width=1080.0, height=1080.0, start=0.0, lane_mod=float(n),
         wb_lo=float(wb.lower), wb_span=float(wb.span))
     settings_t = mk._freeze(settings_d)
     consts_t = mk._freeze(scene.consts)
