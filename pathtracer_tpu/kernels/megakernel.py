@@ -1507,6 +1507,12 @@ def _mega_init(camera, key, settings_t, n, n_pad):
                                   rnd0[:, 2], rnd0[:, 3])
     in_batch = jnp.arange(n_pad) < n
     state = jnp.zeros((NS, n_pad), jnp.float32)
+    return _mega_init_fill(state, o0, d0, lam0, tau0, pix, in_batch,
+                           c_lanes, n_pad, spp, float(n))
+
+
+def _mega_init_fill(state, o0, d0, lam0, tau0, pix, in_batch, c_lanes,
+                    n_pad, spp, n_cam):
     state = state.at[S_O:S_O + 3].set(o0.T)
     state = state.at[S_D:S_D + 3].set(d0.T)
     state = state.at[S_LAM:S_LAM + c_lanes].set(lam0.T)
@@ -1517,8 +1523,40 @@ def _mega_init(camera, key, settings_t, n, n_pad):
     state = state.at[S_PIX].set(pix)
     # spectral-MIS pdf-ratio products start at 1
     state = state.at[S_PDFR:S_PDFR + c_lanes].set(1.0)
-    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n))
+    counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(n_cam)
     return state, counters0
+
+
+@functools.partial(jax.jit, static_argnames=("settings_t", "n", "n_pad"))
+def _mega_init_mapped(camera, key, pix, valid, settings_t, n, n_pad):
+    """Initial spawn with a HOST-FED lane->pixel map (PT_MEGA_MORTON):
+    lanes are ordered so each 512-lane sweep row group covers a compact
+    2D screen block (32x16 pixels) instead of a scanline strip — primary
+    rays in a group then share a tight frustum, which is what the
+    chunk-AABB sweep gate (PT_SWEEP_AABB) needs to actually skip prim
+    blocks. `pix` is the owning pixel per lane (f32), `valid` masks
+    padding lanes of partial blocks. Film assembly inverts the map once
+    per render (renderer side)."""
+    import jax.random as jrandom
+
+    from pathtracer_tpu.core import sampling
+
+    settings = dict(settings_t)
+    c_lanes = settings["c_lanes"]
+    width = settings["width"]
+    height = settings["height"]
+    spp = settings["spp"]
+    xy = jnp.stack([pix % width, jnp.floor(pix / width)], axis=-1)
+    rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
+    film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
+    offs = jnp.arange(c_lanes, dtype=jnp.float32) / c_lanes
+    lam0 = settings["wb_lo"] + ((rnd0[:, 4:5] + offs[None, :]) % 1.0) * settings["wb_span"]
+    o0, d0, tau0 = camera.get_ray(film_uv[:, 0], film_uv[:, 1],
+                                  rnd0[:, 2], rnd0[:, 3])
+    in_batch = valid > 0.5
+    state = jnp.zeros((NS, n_pad), jnp.float32)
+    return _mega_init_fill(state, o0, d0, lam0, tau0, pix, in_batch,
+                           c_lanes, n_pad, spp, float(n))
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -1590,6 +1628,30 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     n_pad = -(-n_lanes // step) * step
     wb = settings.wavelength_bounds
 
+    import os as _os0
+    # block-ordered lanes (PT_MEGA_MORTON): 512-lane sweep row groups cover
+    # 32x16 pixel blocks so primary rays share a tight frustum and the
+    # chunk-AABB gate (PT_SWEEP_AABB) can skip prim blocks. Full-film
+    # single-replica renders only; padding lanes of partial blocks spawn
+    # dead. Film assembly scatters acc rows back by pixel (one XLA
+    # scatter per render).
+    morton = (_os0.environ.get("PT_MEGA_MORTON") and replicas == 1
+              and start == 0 and n == width * height)
+    pix_np = valid_np = None
+    if morton:
+        BW, BH = 32, 16
+        nbx = -(-width // BW)
+        nby = -(-height // BH)
+        nblk = -(-(nbx * nby) // (step // 512)) * (step // 512)
+        n_pad = nblk * 512
+        lane = np.arange(n_pad)
+        blk, within = lane // 512, lane % 512
+        bx, by = blk % nbx, blk // nbx
+        x = bx * BW + within % BW
+        y = by * BH + within // BW
+        valid_np = ((x < width) & (y < height) & (by < nby)).astype(np.float32)
+        pix_np = np.where(valid_np > 0, y * width + x, 0).astype(np.float32)
+
     settings_d = dict(
         c_lanes=c_lanes,
         light_samples=int(settings.light_samples),
@@ -1614,7 +1676,12 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
 
     import os as _os
 
-    state, counters = _mega_init(camera, key, settings_t, n_lanes, n_pad)
+    if morton:
+        state, counters = _mega_init_mapped(
+            camera, key, jnp.asarray(pix_np), jnp.asarray(valid_np),
+            settings_t, n_lanes, n_pad)
+    else:
+        state, counters = _mega_init(camera, key, settings_t, n_lanes, n_pad)
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
@@ -1706,6 +1773,14 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
             # additive: replica lanes share a pixel
             np.add.at(acc, idx[ok], seg_h[:3, ok].T)
         return jnp.asarray(acc), counters
+    if morton:
+        # lanes are block-ordered: scatter acc rows back to pixel order
+        # (ONE XLA scatter per render; padding lanes weighted out)
+        accT = state[S_ACC:S_ACC + 3, :].T
+        idx = jnp.asarray(pix_np.astype(np.int32))
+        w = jnp.asarray(valid_np)
+        return jnp.zeros((n, 3), jnp.float32).at[idx].add(
+            accT * w[:, None]), counters
     acc = state[S_ACC:S_ACC + 3, :n_lanes].T
     if replicas > 1:
         acc = acc.reshape(replicas, n, 3).sum(axis=0)

@@ -588,3 +588,29 @@ def test_mega_matches_regen_sun(tmp_path):
     c_m, c_r = np.asarray(c_m), np.asarray(c_r)
     nz = c_r > 0
     np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.1)
+
+
+def test_mega_morton_matches_linear(cornell, monkeypatch):
+    """PT_MEGA_MORTON reorders lanes into 32x16 screen blocks (so 512-lane
+    sweep row groups share a tight frustum for the chunk-AABB gate) and
+    scatters acc rows back by pixel. Same estimator, different lane->pixel
+    assignment: camera-ray counters exact, per-pixel film means agree
+    within MC noise at equal spp."""
+    w = h = 48
+    spp = 4
+    cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=4, min_bounces=1, light_samples=1,
+                          russian_roulette=True)
+    acc_l, c_l = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(3), interpret=True)
+    monkeypatch.setenv("PT_MEGA_MORTON", "1")
+    acc_m, c_m = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(3), interpret=True)
+    c_l, c_m = np.asarray(c_l), np.asarray(c_m)
+    assert c_l[0] == c_m[0]  # camera rays: n*spp by construction
+    nz = c_l > 0
+    np.testing.assert_allclose(c_m[nz], c_l[nz], rtol=0.1)
+    al, am = np.asarray(acc_l), np.asarray(acc_m)
+    assert al.shape == am.shape and np.isfinite(am).all()
+    # per-pixel means over the film agree within the 4-spp MC noise bound
+    np.testing.assert_allclose(am.mean(axis=0), al.mean(axis=0), rtol=0.15)

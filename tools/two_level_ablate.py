@@ -56,6 +56,9 @@ def run(step):
     from pathtracer_tpu.prelude import INTERSECTION_TIME_OFFSET, RAY_TMAX
 
     print("devices:", jax.devices(), flush=True)
+    import os as _os
+    _os.environ["PT_FLATTEN_MAX"] = "0"  # builder now flattens small scenes;
+    # force the two-level path (what this harness exists to ablate)
     bundle = build_world()
     world = bundle.world
     acc = world.accel2
