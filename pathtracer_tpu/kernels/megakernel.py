@@ -413,8 +413,76 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         # HDR/Sun envs: emission / pdf_for / sample_uv run in XLA inside the
         # same dispatched program (they depend only on state rows + the
         # bounce's uniforms) and are fed to the kernel as ef rows
-        env_args=None if env_kind == _ENV_CONST else (w.env, w.bank, w.tex),
+        env_args=None if env_kind == _ENV_CONST else (
+            w.env, w.bank, w.tex, _bake_env_lut(w.env, w.bank, w.tex)),
     )
+
+
+ENV_LUT_MAX_TEXELS = 16384  # full (texel, λ-knot) bake cap: 64 MB of pairs
+
+
+def _bake_env_lut(env, bank, tex):
+    """Pre-combine an HDR environment's layer weight maps and basis curves
+    into one (texel, λ-knot) pair table so the per-round env feed costs ONE
+    flat gather per emission eval instead of per-layer metadata + atlas +
+    curve gathers (~12 evals/round × ~3 layers: the hdri bench config spent
+    ~4× more time in env gathers than in the whole bounce kernel).
+
+    Exact by construction: spectral.evaluate λ-lerps each layer curve and
+    the layer sum commutes with the lerp, so lerping the pre-summed knots
+    gives the same value (modulo f32 reassociation). Returns None (general
+    slow path) for non-HDR envs and maps over ENV_LUT_MAX_TEXELS."""
+    from pathtracer_tpu.world.environment import ENV_HDR
+
+    try:
+        if int(np.asarray(env.kind)) != int(ENV_HDR):
+            return None
+        tid = int(np.asarray(env.tex_id))
+        start = int(np.asarray(tex.layer_start[tid]))
+        count = int(np.asarray(tex.layer_count[tid]))
+        w_ = int(np.asarray(tex.layer_w[start]))
+        h_ = int(np.asarray(tex.layer_h[start]))
+        if w_ * h_ > ENV_LUT_MAX_TEXELS or count < 1:
+            return None
+        res = bank.values.shape[1]
+        E = np.zeros((h_ * w_, res), np.float32)
+        atlas = np.asarray(tex.atlas)
+        values = np.asarray(bank.values)
+        for k in range(count):
+            li = start + k
+            off = int(np.asarray(tex.layer_offset[li]))
+            ci = int(np.asarray(tex.layer_curve[li]))
+            if (int(np.asarray(tex.layer_w[li])) != w_
+                    or int(np.asarray(tex.layer_h[li])) != h_):
+                return None
+            E += atlas[off:off + h_ * w_, None] * values[ci][None, :]
+        pairs = np.stack([E, np.concatenate([E[:, 1:], E[:, -1:]], axis=1)],
+                         axis=-1).reshape(h_ * w_ * res, 2)
+        return dict(pairs=jnp.asarray(pairs), w=w_, h=h_, res=res,
+                    lam_lo=float(bank.lam_lo), lam_hi=float(bank.lam_hi))
+    except Exception:
+        return None
+
+
+def _env_emission_lut(env, lut, d, lam):
+    """HDR emission via the baked (texel, λ-knot) table: ONE flat gather.
+    Matches env_emission's ENV_HDR branch (nearest texel, λ-lerp)."""
+    from pathtracer_tpu.core import vecmath
+
+    d_env = jnp.einsum("ij,...j->...i", env.rotation, d)
+    u, v = vecmath.direction_to_uv(d_env)
+    w_, h_, res = lut["w"], lut["h"], lut["res"]
+    x = jnp.minimum((jnp.clip(u, 0.0, 1.0 - 1e-6) * w_).astype(jnp.int32),
+                    w_ - 1)
+    y = jnp.minimum((jnp.clip(v, 0.0, 1.0 - 1e-6) * h_).astype(jnp.int32),
+                    h_ - 1)
+    texel = y * w_ + x
+    uu = (lam - lut["lam_lo"]) / (lut["lam_hi"] - lut["lam_lo"]) * (res - 1)
+    uu = jnp.clip(uu, 0.0, res - 1 - 1e-4)
+    i0 = uu.astype(jnp.int32)
+    frac = uu - i0
+    vp = lut["pairs"][texel * res + i0]  # [..., 2] single gather
+    return env.strength * (vp[..., 0] * (1.0 - frac) + vp[..., 1] * frac)
 
 
 # ------------------------------------------------------------------ helpers
@@ -469,17 +537,20 @@ def _env_feed(env_args, state, u, light_samples, c_lanes):
         env_sample_uv,
     )
 
-    env, bank, tex = env_args
+    env, bank, tex, lut = env_args
+    if lut is not None:
+        emit = lambda dd, ll: _env_emission_lut(env, lut, dd, ll)
+    else:
+        emit = lambda dd, ll: env_emission(env, bank, tex, dd, ll)
     n_pad = state.shape[1]
     d = state[S_D:S_D + 3].T  # [n, 3]
     lam = [state[S_LAM + ci] for ci in range(c_lanes)]
-    rows = [env_emission(env, bank, tex, d, lam[ci]) for ci in range(c_lanes)]
+    rows = [emit(d, lam[ci]) for ci in range(c_lanes)]
     rows.append(env_pdf_for(env, d))
     for si in range(light_samples):
         nd, npdf = env_sample_uv(env, u[3 * si + 1], u[3 * si + 2])
         rows += [nd[:, 0], nd[:, 1], nd[:, 2], npdf]
-        rows += [env_emission(env, bank, tex, nd, lam[ci])
-                 for ci in range(c_lanes)]
+        rows += [emit(nd, lam[ci]) for ci in range(c_lanes)]
     ef = jnp.stack(rows).astype(jnp.float32)
     pad = _ef_rows(light_samples, c_lanes) - ef.shape[0]
     if pad:
