@@ -74,8 +74,14 @@ from pathtracer_tpu.prelude import (
 )
 from pathtracer_tpu.utils import profile as prof
 
-TILE = 2048  # lanes per K2/K4 grid step (VMEM-bounded: the λ soft-onehot
-             # is [512, TILE] f32 = 4 MB; K1/K3 keep their own RAY_TILE)
+import os as _os_top
+
+TILE = int(_os_top.environ.get("PT_MEGA_TILE", "4096"))
+# lanes per K2/K4 grid step. 2048 was the VMEM-bounded pick under the old
+# 16 MiB scoped budget (the λ soft-onehot is [512, TILE] f32); with the
+# budget raised (see _mega_jit) 4096 halves the grid-step count and
+# measures +3% alone, +14% with the fused round (on-chip A/B 2026-08-18:
+# 107.3 / 110.4 / 121.9 Mrays/s for 2048 / 4096 / 4096+fused, 8192 flat).
 
 
 def _mega_jit(**jit_kw):
@@ -101,7 +107,7 @@ def _mega_jit(**jit_kw):
                 try:
                     if jax.default_backend() != "cpu":
                         import os as _os
-                        kib = _os.environ.get("PT_SCOPED_VMEM_KIB", "65536")
+                        kib = _os.environ.get("PT_SCOPED_VMEM_KIB", "98304")
                         opts = {"xla_tpu_scoped_vmem_limit_kib": kib}
                 except Exception:
                     opts = None
@@ -1695,6 +1701,18 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     n = batch_n or (width * height)
     assert spp % replicas == 0, "replicas must divide spp"
     n_lanes = n * replicas
+    # per-scene tile pick (on-chip A/B 2026-08-18): single-chunk scenes
+    # (cornell, furnace) run fastest at TILE=4096 (+3-14%); multi-chunk
+    # sweep-heavy scenes (gem: 10 chunks) prefer 2048 (13.8 vs 12.6
+    # Mrays/s — the fatter sweep body inflates Mosaic's stack frame and
+    # slows the round). Module global + settings_t "tile" cache key; the
+    # PT_MEGA_TILE env pin wins.
+    global TILE, SUB
+    import os as _ost
+    if not _ost.environ.get("PT_MEGA_TILE"):
+        n_chunks = scene.dense_tab.shape[0] // 32
+        TILE = 4096 if n_chunks <= 4 else 2048
+        SUB = TILE // 128
     step = max(TILE, RAY_TILE)
     n_pad = -(-n_lanes // step) * step
     wb = settings.wavelength_bounds
@@ -1725,6 +1743,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
 
     settings_d = dict(
         c_lanes=c_lanes,
+        tile=TILE,  # cache key only: the program jits close over the global
         light_samples=int(settings.light_samples),
         spp=float(spp // replicas),
         lane_mod=float(n),
@@ -1756,13 +1775,26 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
-    # 3-program pipeline by default: the fused single-dispatch kernel is
-    # estimator-identical and passes interpret-mode validation, but its
-    # larger Mosaic body does not finish compiling on the axon tunnel
-    # within 30 min (the split kernels compile in seconds) — opt in with
-    # PT_MEGA_FUSED=1 on toolchains where it compiles
+    # FUSED single-dispatch round by DEFAULT for constant-env scenes: the
+    # post-outage AOT compiler builds the big Mosaic body in seconds (the
+    # round-3 "never finishes compiling" pathology is gone) and it measures
+    # fastest on-chip (121.9 vs 110.4 Mrays/s for the 2-prog round at
+    # TILE=4096, 1080p cornell). Env-feed scenes (HDR/Sun) keep the 2-prog
+    # round — the feed's XLA ops must live between the kernels. Escape
+    # hatches: PT_MEGA_NOFUSED / PT_MEGA_3PROG / PT_MEGA_1PROG /
+    # PT_MEGA_ROUNDS.
     rounds_per_prog = max(int(_os.environ.get("PT_MEGA_ROUNDS", "1")), 1)
-    fused_ok = _os.environ.get("PT_MEGA_FUSED") and scene.env_args is None
+    fused_ok = (scene.env_args is None
+                and int(settings.light_samples) > 0
+                and scene.dense_tab.shape[0] // 32 <= 4
+                and not _os.environ.get("PT_MEGA_NOFUSED")
+                and not _os.environ.get("PT_MEGA_3PROG")
+                and not _os.environ.get("PT_MEGA_1PROG")
+                and rounds_per_prog == 1)
+    # fused measured: +10% on single-chunk NEE scenes (cornell 121.9 vs
+    # 110.4), -33% on the ls=0 furnace (27 vs 40, cause not yet isolated)
+    # and slower + scoped-vmem-heavier on multi-chunk scenes (gem) — hence
+    # the ls>0 and chunk gates above.
     step_fn = (_step_fused if fused_ok
                else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
                else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")

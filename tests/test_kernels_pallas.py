@@ -215,6 +215,9 @@ def test_mega_2prog_bitidentical_3prog(cornell, monkeypatch):
     cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
     settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=2,
                           russian_roulette=True)
+    # the production default is the FUSED round (own uniform stream);
+    # this test pins the 2-prog baseline the 3-prog claim is about
+    monkeypatch.setenv("PT_MEGA_NOFUSED", "1")
     monkeypatch.delenv("PT_MEGA_3PROG", raising=False)
     acc2, c2 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
                                    jax.random.PRNGKey(41), interpret=True)
@@ -358,6 +361,8 @@ def test_mega_multi_round_bitidentical(cornell, monkeypatch):
     cam = build_camera(cornell.camera_by_id("main"), aspect_ratio=1.0)
     settings = PTSettings(max_bounces=5, min_bounces=1, light_samples=1,
                           russian_roulette=True)
+    # pin the 2-prog baseline (the fused default has its own stream)
+    monkeypatch.setenv("PT_MEGA_NOFUSED", "1")
     monkeypatch.delenv("PT_MEGA_ROUNDS", raising=False)
     acc1, c1 = pt_trace_regen_mega(cornell.world, cam, settings, w, h, spp,
                                    jax.random.PRNGKey(12), interpret=True)
