@@ -1847,22 +1847,88 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         # Termination is still exact (break on the first zero count); the
         # only cost is up to one extra interval of all-dead rounds, which
         # are cheaper than the stalls they replace.
-        calls_per_sync = max(ALIVE_CHECK_ASYNC // rounds_per_prog, 1)
+        #
+        # Occupancy-adaptive tail (PT_MEGA_TAIL=0 disables): the measured
+        # drain curve (tools/probe_wall.py, 1080p cornell @12spp) runs HALF
+        # its rounds below 6% occupancy — straggler lanes keep the
+        # full-width wavefront alive for ~45 rounds at ~9.7 ms each.
+        # Compaction alone cannot win on this tunnel (rule 8: the smaller
+        # rounds land under the ~8.8 ms/program pacing floor) and neither
+        # can round-chaining alone (dead lanes still compute, so full-width
+        # device cost is occupancy-independent) — but COMBINED they
+        # multiply: stable-partition the wavefront down a QUANTIZED width
+        # ladder (n/8, n/64 — fixed divisors so the per-width Mosaic
+        # compiles stay warm across renders) and chain K = n_pad/m rounds
+        # per program so each program's device cost stays at the pacing
+        # floor. Small wavefronts (512² films) are floor-bound even at
+        # full occupancy, so they start chained (k0). Lane slots key the
+        # per-round uniform streams, so compaction is estimator-identical,
+        # not bit-identical (S_PIX rides the state; parked tails hold only
+        # dead lanes whose acc rows are final — same contract as the
+        # opt-in ladder above).
+        tail_env = _os.environ.get("PT_MEGA_TAIL", "1")
+        tail_on = (tail_env != "0"
+                   and rounds_per_prog == 1
+                   and (fused_ok or step_fn is _mega_step)
+                   # interpret builds keep the exact sequential stream
+                   # (bit-identity tests pin it) unless forced
+                   and (not interpret or tail_env == "force"))
+        n_chunks = scene.dense_tab.shape[0] // 32
+        prog_lanes = int(_os.environ.get("PT_MEGA_PROG_LANES",
+                                         str(1 << 20)))
+        k0 = 1
+        if tail_on and not interpret:
+            k0 = max(1, min(8, prog_lanes // max(n_pad * n_chunks, 1)))
+        ladder: list = []
+        if tail_on:
+            for div in (8, 64):
+                w = -(-max(n_pad // div, step) // step) * step
+                if w < n_pad and (not ladder or w < ladder[-1]):
+                    ladder.append(w)
+
+        def _chained(k):
+            if k == 1:
+                return step_fn
+            if fused_ok:
+                return functools.partial(_step_fused_multi, rounds=k)
+            return functools.partial(_mega_step_multi, rounds=k)
+
+        m = n_pad
+        k_cur = k0
+        stepper = _chained(k_cur)
+        calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
         pending: list = []  # (it_at_issue, device scalar future)
         stop = False
         while it < max_iters and not stop:
             for _ in range(calls_per_sync):
-                state, counters, it_dev = step_fn(
+                state, counters, it_dev = stepper(
                     state, counters, it_dev, tabs, k_iter, settings_t,
                     consts_t, interpret)
-                it += rounds_per_prog
+                it += k_cur
             pending.append((it, _alive_count(state)))
-            while pending and (it - pending[0][0] >=
-                               calls_per_sync * rounds_per_prog
+            while pending and (it - pending[0][0] >= calls_per_sync * k_cur
                                or len(pending) > 3):
                 _, fut = pending.pop(0)
-                if float(np.asarray(fut)) == 0.0:
+                v = float(np.asarray(fut))
+                if v == 0.0:
                     stop = True
+                    break
+                # descend the width ladder once the population clearly
+                # fits: alive is monotone non-increasing, so the slightly
+                # stale count is an upper bound on the current population
+                target = m
+                for w in ladder:
+                    if w < target and v <= w // 2:
+                        target = w
+                if target < m:
+                    state, tail_seg = _compact(state, target)
+                    parked.append(tail_seg)
+                    m = target
+                    k_cur = max(k0, min(8, n_pad // m))
+                    stepper = _chained(k_cur)
+                    calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
+                    # stale counts are superseded by checks on the front
+                    pending.clear()
                     break
     if parked:
         parked.append(_acc_rows(state))
@@ -2397,3 +2463,21 @@ def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
     counters = counters.at[prof.CAMERA_RAYS].add(jnp.sum(out[O4_CAMERA_CT]))
     counters = counters.at[prof.ENV_HITS].add(jnp.sum(out[O4_ENV_CT]))
     return state_out, counters, it_dev + 1
+
+
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret", "rounds"))
+def _step_fused_multi(state, counters, it_dev, tabs, key, settings_t,
+                      consts_t, interpret, rounds):
+    """`rounds` FUSED bounce rounds chained in ONE dispatched program
+    (`rounds` pallas calls). Bitwise the same ops and uniform stream as
+    `rounds` sequential _step_fused calls (each inlined body draws its own
+    uniforms off the incremented it_dev) — only the program packaging
+    changes. This is the tail/chaining lever: the tunnel paces dispatch at
+    ~8.8 ms per PROGRAM (PARITY rule 8), so K cheap rounds (small or
+    compacted wavefronts) chained into one program cost one pacing
+    interval instead of K."""
+    for _ in range(rounds):
+        state, counters, it_dev = _step_fused.raw(
+            state, counters, it_dev, tabs, key, settings_t, consts_t,
+            interpret)
+    return state, counters, it_dev
