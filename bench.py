@@ -4,19 +4,27 @@ white furnace, HDRI env (synthetic blob stand-in — the reference checkout
 ships no .hdr assets), diamond gem 1080p, instanced arrangement (two-level),
 BDPT + LT Cornell 512².
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...extras}.
 Baseline: the reference renderer's 23.9 Mrays/sec on a 20-thread CPU
 (reference data/config.toml:7-9; see BASELINE.md).
 
+STREAMING RESULTS (VERDICT r3 #1): the headline config (cornell_1080) runs
+FIRST and the consolidated JSON line is re-printed (flushed) after EVERY
+config completes, so a driver timeout at any point still leaves the newest
+complete result as the last parseable line. BENCH_r03 recorded nothing
+because the old script printed only after all ~4.5h of worst-case caps.
+
 Per-config isolation (VERDICT r2 #9): each config runs in its OWN
 subprocess with a timeout, so a TPU worker crash in one config cannot blank
-the others; every completed config's numbers survive. The on-TPU smoke
-regression (tools/tpu_smoke.py) runs first so perf numbers are never
-reported for a silently-broken build.
+the others. The on-TPU smoke regression (tools/tpu_smoke.py) runs right
+after the headline number so perf numbers are never the ONLY signal for a
+silently-broken build — but never before it.
 
 Timing is HONEST: wall clock spans dispatch -> a forced host fetch of the
 ray counters (np.asarray). `block_until_ready` does NOT await remote
 execution on the axon tunnel (the round-1 363 Mrays/s artifact; PARITY.md).
+The headline config runs 3 timed passes and reports the MEDIAN (plus all
+runs) so single-run tunnel-pacing noise can't swing the round number
+(VERDICT r3 #2).
 """
 
 from __future__ import annotations
@@ -34,13 +42,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # ----------------------------------------------------------- single configs
 
 
-def _setup():
-    import numpy as np  # noqa: F401
-    import jax  # noqa: F401
-
-
 def _render_pt(scene, spp, width, height, light_samples=2, pixel_batch=None,
-               max_bounces=12, settings_extra=None):
+               max_bounces=12, settings_extra=None, repeats=1):
     import numpy as np
     import jax
 
@@ -62,33 +65,39 @@ def _render_pt(scene, spp, width, height, light_samples=2, pixel_batch=None,
     film, prof, _ = render_regen(bundle.world, camera, settings, width, height,
                                  spp, key=jax.random.PRNGKey(0),
                                  pixel_batch=pixel_batch)
-    # timed (render_regen's Profile fetch forces completion)
-    t0 = time.perf_counter()
-    film, prof, _ = render_regen(bundle.world, camera, settings, width, height,
-                                 spp, key=jax.random.PRNGKey(1),
-                                 pixel_batch=pixel_batch)
-    el = time.perf_counter() - t0
-    assert np.isfinite(np.asarray(film)).all()
-    return prof.total_rays / el / 1e6, spp / el
+    runs = []
+    for r in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        film, prof, _ = render_regen(bundle.world, camera, settings, width,
+                                     height, spp, key=jax.random.PRNGKey(1 + r),
+                                     pixel_batch=pixel_batch)
+        el = time.perf_counter() - t0
+        assert np.isfinite(np.asarray(film)).all()
+        runs.append((prof.total_rays / el / 1e6, spp / el))
+    runs.sort()
+    med = runs[len(runs) // 2]
+    return med[0], med[1], [round(r[0], 2) for r in runs]
 
 
 def config_cornell_1080(out):
-    mrays, spp_s = _render_pt("data/scenes/cornell_box.toml", 12, 1080, 1080)
+    mrays, spp_s, runs = _render_pt("data/scenes/cornell_box.toml", 12,
+                                    1080, 1080, repeats=3)
     out["value"] = round(mrays, 2)
     out["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
     out["spp_per_sec_1080p"] = round(spp_s, 3)
+    out["cornell_1080_runs"] = runs
 
 
 def config_cornell_512(out):
     # BASELINE config: data/config_test_cornell_box.toml (512² @ 64 spp)
-    mrays, spp_s = _render_pt("data/scenes/cornell_box.toml", 64, 512, 512)
+    mrays, spp_s, _ = _render_pt("data/scenes/cornell_box.toml", 64, 512, 512)
     out["cornell_512_64spp_mrays"] = round(mrays, 2)
     out["cornell_512_spp_per_sec"] = round(spp_s, 3)
 
 
 def config_furnace(out):
     # BASELINE config: white furnace (energy conservation scene)
-    mrays, spp_s = _render_pt(
+    mrays, spp_s, _ = _render_pt(
         "/root/reference/data/scenes/white_furnace.toml", 32, 512, 512,
         light_samples=0, settings_extra=dict(min_bounces=2))
     out["furnace_512_mrays"] = round(mrays, 2)
@@ -96,14 +105,14 @@ def config_furnace(out):
 
 def config_hdri(out):
     # BASELINE config: HDRI env lighting (synthetic blob stand-in)
-    mrays, spp_s = _render_pt("data/scenes/hdri_blob_test.toml", 16, 512, 512)
+    mrays, spp_s, _ = _render_pt("data/scenes/hdri_blob_test.toml", 16, 512, 512)
     out["hdri_512_mrays"] = round(mrays, 2)
 
 
 def config_gem(out):
     # full film: the mega path needs no lane batching and render_regen's
     # XLA fallback auto-batches >583k lanes itself (489c114)
-    mrays, spp_s = _render_pt(
+    mrays, spp_s, _ = _render_pt(
         "/root/reference/data/scenes/cornell_box_diamond_gem.toml", 8,
         1080, 1080)
     out["gem_1080p_mrays"] = round(mrays, 2)
@@ -115,7 +124,7 @@ def config_arrangement(out):
     # PT_FLATTEN_MAX) and ride the large-scene megakernel; the XLA
     # two-level TLAS/BLAS path stays CPU-verified but crashes the TPU
     # worker (PARITY.md), so it is not the benchmarked route.
-    mrays, spp_s = _render_pt(
+    mrays, spp_s, _ = _render_pt(
         "data/scenes/diamond_arrangement_instanced.toml", 2, 1080, 1080,
         max_bounces=8)
     out["arrangement_1080p_mrays"] = round(mrays, 2)
@@ -155,14 +164,17 @@ def config_bdpt_lt(out):
         prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
 
 
+# Order matters: headline FIRST (the driver may timeout at any point),
+# then the smoke gate, then secondary configs. Caps are sized from
+# measured round-4 subprocess walls (compile-cache warm via /tmp).
 CONFIGS = {
-    "cornell_1080": (config_cornell_1080, 1800),
-    "cornell_512": (config_cornell_512, 1200),
-    "furnace": (config_furnace, 1200),
-    "hdri": (config_hdri, 1200),
-    "gem": (config_gem, 2400),
-    "arrangement": (config_arrangement, 2400),
-    "bdpt_lt": (config_bdpt_lt, 1800),
+    "cornell_1080": (config_cornell_1080, 600),
+    "cornell_512": (config_cornell_512, 300),
+    "hdri": (config_hdri, 300),
+    "furnace": (config_furnace, 240),
+    "gem": (config_gem, 420),
+    "arrangement": (config_arrangement, 300),
+    "bdpt_lt": (config_bdpt_lt, 420),
 }
 
 
@@ -170,7 +182,7 @@ def run_one(name):
     os.chdir(REPO)
     out = {}
     CONFIGS[name][0](out)
-    print("BENCH_RESULT " + json.dumps(out))
+    print("BENCH_RESULT " + json.dumps(out), flush=True)
 
 
 def main():
@@ -183,16 +195,13 @@ def main():
         "vs_baseline": 0.0,
         "device": str(jax.devices()[0]),
     }
-    # on-TPU regression smoke first: no perf numbers for a broken build
-    smoke = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
-        capture_output=True, text=True, timeout=3600, cwd=REPO)
-    result["smoke_ok"] = smoke.returncode == 0
-    if smoke.returncode != 0:
-        result["smoke_tail"] = (smoke.stdout + smoke.stderr)[-600:]
 
-    for name in CONFIGS:
-        timeout_s = CONFIGS[name][1]
+    def emit():
+        # consolidated line, re-printed after every config: the driver
+        # parses the LAST JSON line, so partial progress always lands
+        print(json.dumps(result), flush=True)
+
+    def run_sub(name, timeout_s):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", name],
@@ -205,8 +214,31 @@ def main():
                 result[name + "_error"] = (r.stdout + r.stderr)[-400:]
         except subprocess.TimeoutExpired:
             result[name + "_error"] = f"timeout after {timeout_s}s"
-        time.sleep(5)
-    print(json.dumps(result))
+        emit()
+
+    t_start = time.time()
+    run_sub("cornell_1080", CONFIGS["cornell_1080"][1])
+
+    # on-TPU regression smoke AFTER the headline: perf numbers should not
+    # wait behind it, but a broken build must still be flagged
+    try:
+        smoke = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "tpu_smoke.py")],
+            capture_output=True, text=True, timeout=300, cwd=REPO)
+        result["smoke_ok"] = smoke.returncode == 0
+        if smoke.returncode != 0:
+            result["smoke_tail"] = (smoke.stdout + smoke.stderr)[-600:]
+    except subprocess.TimeoutExpired:
+        result["smoke_ok"] = False
+        result["smoke_tail"] = "smoke timeout after 300s"
+    emit()
+
+    for name in CONFIGS:
+        if name == "cornell_1080":
+            continue
+        run_sub(name, CONFIGS[name][1])
+    result["bench_wall_s"] = round(time.time() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

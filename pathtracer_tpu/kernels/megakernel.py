@@ -1816,6 +1816,11 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     parked = []
     m = n_pad
     compact = bool(_os.environ.get("PT_MEGA_COMPACT"))
+    # parked-tail film assembly reads pixel ids from the f32 S_PIX row,
+    # exact only below 2^24 (ADVICE r3 #4)
+    if compact:
+        assert start + n < (1 << 24), \
+            "PT_MEGA_COMPACT: pixel ids ride f32 state rows (< 2^24)"
     if compact:
         # the compaction ladder needs a CURRENT population, so its checks
         # stay blocking (opt-in path; measured a loss at bench spp anyway)
@@ -1866,13 +1871,21 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         # not bit-identical (S_PIX rides the state; parked tails hold only
         # dead lanes whose acc rows are final — same contract as the
         # opt-in ladder above).
-        tail_env = _os.environ.get("PT_MEGA_TAIL", "1")
+        # Default OFF (opt-in PT_MEGA_TAIL=1): each ladder width x chain
+        # factor is a fresh multi-body Mosaic compile; with no committed
+        # on-chip A/B win and the round-3 driver bench timing out with the
+        # ladder in place (BENCH_r03 rc=124), the committed default is the
+        # measured 106-120 Mrays/s pipelined-checks loop (ADVICE r3 #1).
+        tail_env = _os.environ.get("PT_MEGA_TAIL", "0")
         tail_on = (tail_env != "0"
                    and rounds_per_prog == 1
                    and (fused_ok or step_fn is _mega_step)
                    # interpret builds keep the exact sequential stream
                    # (bit-identity tests pin it) unless forced
                    and (not interpret or tail_env == "force"))
+        if tail_on:
+            assert start + n < (1 << 24), \
+                "PT_MEGA_TAIL: pixel ids ride f32 state rows (< 2^24)"
         n_chunks = scene.dense_tab.shape[0] // 32
         prog_lanes = int(_os.environ.get("PT_MEGA_PROG_LANES",
                                          str(1 << 20)))
@@ -1894,8 +1907,15 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
             return functools.partial(_mega_step_multi, rounds=k)
 
         m = n_pad
-        k_cur = k0
-        stepper = _chained(k_cur)
+        if tail_on:
+            k_cur = k0
+            stepper = _chained(k_cur)
+        else:
+            # step_fn may already be the multi-round partial
+            # (PT_MEGA_ROUNDS>1): track REAL rounds so the max_iters cap
+            # and the check cadence stay in round units (ADVICE r3 #2)
+            k_cur = rounds_per_prog
+            stepper = step_fn
         calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
         pending: list = []  # (it_at_issue, device scalar future)
         stop = False
@@ -1924,6 +1944,10 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                     state, tail_seg = _compact(state, target)
                     parked.append(tail_seg)
                     m = target
+                    # chain depth capped at 8 (compile budget): the n/64
+                    # rung therefore runs ~n_pad/8 lane-rounds per program,
+                    # above the pacing floor — acceptable for the opt-in
+                    # ladder (ADVICE r3 #3)
                     k_cur = max(k0, min(8, n_pad // m))
                     stepper = _chained(k_cur)
                     calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
