@@ -80,17 +80,18 @@ def _render_pt(scene, spp, width, height, light_samples=2, pixel_batch=None,
 
 
 def config_cornell_1080(out):
-    # Headline at 96 spp: the regen wavefront's occupancy drain tail
+    # Headline at 384 spp: the regen wavefront's occupancy drain tail
     # (~45 near-empty rounds per sample batch at 1080p) amortizes with
-    # per-lane work — measured 12->96 spp = 111->182 Mrays/s (PARITY.md
-    # rule 8, productized per VERDICT r3 #3). The 12 spp number is kept
-    # as a secondary key for round-over-round comparability.
-    mrays, spp_s, runs = _render_pt("data/scenes/cornell_box.toml", 96,
+    # per-lane work — measured today 12/96/192/384 spp = 102/193/220/236
+    # Mrays/s (PARITY.md rule 8, productized per VERDICT r3 #3). The
+    # 12 spp number is kept as a secondary key for round-over-round
+    # comparability. A 384 spp 1080p render is ~9 s timed.
+    mrays, spp_s, runs = _render_pt("data/scenes/cornell_box.toml", 384,
                                     1080, 1080, repeats=3)
     out["value"] = round(mrays, 2)
     out["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
     out["spp_per_sec_1080p"] = round(spp_s, 3)
-    out["cornell_1080_96spp_runs"] = runs
+    out["cornell_1080_384spp_runs"] = runs
     mrays12, spp12, runs12 = _render_pt("data/scenes/cornell_box.toml", 12,
                                         1080, 1080, repeats=3)
     out["cornell_1080_12spp_mrays"] = round(mrays12, 2)

@@ -184,6 +184,10 @@ class MegaScene(NamedTuple):
     consts: dict            # host-side scalars baked into kernel closures
     env_args: object        # None (constant env) or (Environment, CurveBank,
                             # Textures) pytree for the XLA env feed (_env_feed)
+    tex_args: object = None  # None (all 1x1 textures) or (Textures,
+                            # CurveBank, mat2tex f32[128], uvtab f32[P,16])
+                            # pytree for the XLA surface-texture feed
+                            # (_tex_feed; reference src/texture.rs:204-276)
 
 
 # prim_tab extra rows (0..10 are dense.py's)
@@ -193,6 +197,7 @@ _NP_ROWS = 24
 
 # mat_tab rows
 _M_TYPE, _M_ALPHA, _M_METAL, _M_PERM, _M_SIDE, _M_SHARP, _M_RSCALE = range(7)
+_M_TEXF = 7  # 1.0 where lambertian reflectance rides the XLA texture feed
 _NM_ROWS = 8
 
 # light_tab rows
@@ -221,9 +226,12 @@ def mega_available(world, camera, settings) -> bool:
         return False
     if int(w.n_lights) > 16:
         return False
-    # surface textures must be single-layer 1x1 (flat spectral colors);
-    # an HDR environment's equirect texture is exempt — its emission/pdf
-    # are evaluated in XLA and fed per lane (_env_feed), never in-kernel
+    # surface textures: multi-texel/multi-layer textures are supported
+    # when referenced via LAMBERTIAN reflectance (mats.tex_id) — their
+    # per-hit eval rides the XLA texture feed (_tex_feed), never in-kernel
+    # texel gathers. An HDR environment's equirect texture is likewise
+    # exempt (_env_feed). Any OTHER texture must stay single-layer 1x1
+    # (flat spectral color baked into mat/spec tables).
     t = w.tex
     lc = np.asarray(t.layer_count)
     lstart = np.asarray(t.layer_start)
@@ -231,10 +239,18 @@ def mega_available(world, camera, settings) -> bool:
     lh = np.asarray(t.layer_h)
     tex_ok = np.ones(lc.shape[0], bool)
     layer_ok = np.ones(lw.shape[0], bool)
+
+    def _exempt(tid):
+        tex_ok[tid] = False
+        layer_ok[int(lstart[tid]):int(lstart[tid]) + int(lc[tid])] = False
+
     if int(w.env.kind) == ENV_HDR:
-        eid = int(w.env.tex_id)
-        tex_ok[eid] = False
-        layer_ok[int(lstart[eid]):int(lstart[eid]) + int(lc[eid])] = False
+        _exempt(int(w.env.tex_id))
+    mtype_h = np.asarray(w.mats.mtype)
+    texid_h = np.asarray(w.mats.tex_id)
+    for i in range(int(w.mats.count)):
+        if mtype_h[i] == MAT_LAMBERTIAN and texid_h[i] >= 0:
+            _exempt(int(texid_h[i]))
     if not (lc[tex_ok] == 1).all():
         return False
     if not ((lw[layer_ok] == 1).all() and (lh[layer_ok] == 1).all()):
@@ -311,16 +327,33 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     layer_offset = np.asarray(tex.layer_offset)
     mtype = hm["mtype"]
     tex_id = np.maximum(hm["tex_id"], 0)
+    layer_count = np.asarray(tex.layer_count)
+    layer_w = np.asarray(tex.layer_w)
+    layer_h = np.asarray(tex.layer_h)
     refl_curve = np.zeros(m, np.int64)
     refl_scale = np.ones(m, np.float32)
+    texf = np.zeros(m, np.float32)
     for i in range(m):
         if mtype[i] == MAT_LAMBERTIAN:
-            li = int(layer_start[tex_id[i]])
-            refl_curve[i] = int(layer_curve[li])
-            refl_scale[i] = float(atlas[int(layer_offset[li])])
+            ti = int(tex_id[i])
+            li = int(layer_start[ti])
+            multi = (int(layer_count[ti]) > 1
+                     or int(layer_w[li]) * int(layer_h[li]) > 1)
+            if multi:
+                # uv-dependent reflectance: evaluated per hit by the XLA
+                # texture feed (_tex_feed); the in-kernel curve row is
+                # masked out by _M_TEXF (kept = layer 0's curve for a
+                # harmless value on never-selected lanes)
+                texf[i] = 1.0
+                refl_curve[i] = int(layer_curve[li])
+                refl_scale[i] = 1.0
+            else:
+                refl_curve[i] = int(layer_curve[li])
+                refl_scale[i] = float(atlas[int(layer_offset[li])])
         else:
             refl_curve[i] = int(hm["bounce_idx"][i])
     mt[_M_RSCALE, :m] = refl_scale
+    mt[_M_TEXF, :m] = texf
 
     # spectral rows: per-material (eta_i, eta_o, kappa, refl, emit) + env
     bank_vals = np.asarray(w.bank.values)  # [K, 512]
@@ -397,7 +430,23 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         cam_lens_r=float(camera.lens_radius),
         cam_blades=int(camera.blades),
         cam_sharp=float(camera.blade_sharpness),
+        tex_feed=bool(texf.any()),
     )
+    tex_args = None
+    if texf.any():
+        # XLA surface-texture feed tables: per-lane uv needs the hit prim's
+        # vertices/type (one packed row gather) and the hit material's
+        # texture id (one [128] gather); the texture eval itself rides the
+        # tested textures/texture.py machinery on w.tex
+        uvtab = np.zeros((p_pad, 16), np.float32)
+        uvtab[:p, 0:3] = h["pa"]
+        uvtab[:p, 3:6] = h["pb"]
+        uvtab[:p, 6:9] = h["pc"]
+        uvtab[:p, 9] = h["ptype"]
+        uvtab[:p, 10] = h["material_id"]
+        mat2tex = np.zeros(128, np.float32)
+        mat2tex[:m] = tex_id
+        tex_args = (w.tex, w.bank, jnp.asarray(mat2tex), jnp.asarray(uvtab))
     dense_tab = pack_prims_np(h["ptype"], h["valid"], h["pa"], h["pb"], h["pc"])
     # chunk-AABB gate (PT_SWEEP_AABB=1): append per-32-prim-chunk AABB rows
     # so the in-kernel sweeps can lax.cond-skip whole prim blocks no ray in
@@ -421,6 +470,7 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         # bounce's uniforms) and are fed to the kernel as ef rows
         env_args=None if env_kind == _ENV_CONST else (
             w.env, w.bank, w.tex, _bake_env_lut(w.env, w.bank, w.tex)),
+        tex_args=tex_args,
     )
 
 
@@ -562,6 +612,81 @@ def _env_feed(env_args, state, u, light_samples, c_lanes):
     if pad:
         ef = jnp.concatenate([ef, jnp.zeros((pad, n_pad), jnp.float32)])
     return ef
+
+
+def _tf_rows(c_lanes):
+    """Texture-feed rows: C per-lane reflectance values, sublane-padded."""
+    return -(-c_lanes // 8) * 8
+
+
+def _tex_feed(tex_args, state, tp, c_lanes):
+    """XLA-side surface-texture feed (the _env_feed pattern applied to
+    uv-dependent lambertian reflectance, reference src/texture.rs:204-276):
+    given the K1 sweep's hit rows (t, prim id), compute each lane's hit
+    point, its uv by prim type (the geometry/soa.py formulas; identity
+    transforms only — the mega gate requires them), the hit material's
+    texture id, and eval the full layer-stack texture at the lane's C hero
+    wavelengths via the tested textures/texture.py machinery. Runs OUTSIDE
+    the pallas calls in the same dispatched program; the shade kernel
+    selects fed rows only for _M_TEXF materials, so untextured scenes and
+    materials are bitwise unaffected."""
+    from pathtracer_tpu.textures.texture import eval_texture
+
+    tex, bank, mat2tex, uvtab = tex_args
+    t = tp[0]
+    pid = tp[1]
+    hit = pid >= 0.0
+    rows = jnp.take(uvtab, jnp.maximum(pid, 0.0).astype(jnp.int32), axis=0)
+    pa, pb, pc = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    ptype = rows[:, 9]
+    mat_id = rows[:, 10].astype(jnp.int32)
+    o = state[S_O:S_O + 3].T
+    d = state[S_D:S_D + 3].T
+    p = o + t[:, None] * d
+    # triangle barycentrics (geometry/soa.py:330-341)
+    e1, e2 = pb - pa, pc - pa
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    tvec = o - pa
+    bu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    bv = jnp.sum(d * jnp.cross(tvec, e1), axis=-1) * inv_det
+    tri_uv = jnp.stack([bu, bv], axis=-1)
+    # sphere equirect uv (soa.py:344-348)
+    rel_s = p - pa
+    sph_n = rel_s / jnp.maximum(
+        jnp.linalg.norm(rel_s, axis=-1, keepdims=True), 1e-20)
+    sph_u = (jnp.arctan2(sph_n[:, 1], sph_n[:, 0]) / (2 * jnp.pi)) % 1.0
+    sph_v = jnp.arccos(jnp.clip(sph_n[:, 2], -1.0, 1.0)) / jnp.pi
+    sph_uv = jnp.stack([sph_u, sph_v], axis=-1)
+    # rect parametric uv (soa.py:351-358); disks keep uv (0,0) like the
+    # reference's TODO (src/geometry/disk.rs)
+    rel = p - pa
+    rect_uv = jnp.stack(
+        [0.5 * (jnp.sum(rel * pb, axis=-1)
+                / jnp.maximum(jnp.sum(pb * pb, axis=-1), 1e-20) + 1.0),
+         0.5 * (jnp.sum(rel * pc, axis=-1)
+                / jnp.maximum(jnp.sum(pc * pc, axis=-1), 1e-20) + 1.0)],
+        axis=-1)
+    is_tri = (ptype == PRIM_TRIANGLE)[:, None]
+    is_sph = (ptype == PRIM_SPHERE)[:, None]
+    is_rec = (ptype == PRIM_RECT)[:, None]
+    uv = jnp.where(is_tri, tri_uv,
+                   jnp.where(is_sph, sph_uv,
+                             jnp.where(is_rec, rect_uv,
+                                       jnp.zeros_like(rect_uv))))
+    tid = jnp.take(mat2tex, mat_id).astype(jnp.int32)
+    out = [jnp.where(hit,
+                     eval_texture(tex, bank, tid, state[S_LAM + ci], uv),
+                     0.0)
+           for ci in range(c_lanes)]
+    tf = jnp.stack(out).astype(jnp.float32)
+    pad = _tf_rows(c_lanes) - tf.shape[0]
+    if pad:
+        tf = jnp.concatenate(
+            [tf, jnp.zeros((pad, tf.shape[1]), jnp.float32)])
+    return tf
 
 
 def _sel_rows(mat_prod, ids, rows, n, stride=1, base=0):
@@ -739,11 +864,14 @@ def _hit_attributes(attr, o, d, t):
 def _shade_kernel(consts, settings,
                   u_ref, state_ref, tp_ref, prim_ref, mat_ref, light_ref,
                   spec_ref, *rest):
-    ef_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
+    rest = list(rest)
+    out_ref = rest.pop()
+    ef_ref = rest.pop(0) if consts.get("env_kind", 0) != 0 else None
+    tf_ref = rest.pop(0) if consts.get("tex_feed") else None
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref,
                 t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]),
-                ef_ref=ef_ref)
+                ef_ref=ef_ref, tf_ref=tf_ref)
 
 
 def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
@@ -805,7 +933,8 @@ def _prim_attr_fetch(prim_ref, pid_c):
 
 
 def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
-                light_ref, spec_ref, out_ref, t_hit, pid, ef_ref=None):
+                light_ref, spec_ref, out_ref, t_hit, pid, ef_ref=None,
+                tf_ref=None):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
@@ -921,6 +1050,12 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     kappa = [_sel_rows(R[ci], mat_id, 2, n_mats, stride=5) for ci in range(C)]
     refl = [rscale * _sel_rows(R[ci], mat_id, 3, n_mats, stride=5)
             for ci in range(C)]
+    if c.get("tex_feed"):
+        # uv-dependent lambertian reflectance from the XLA texture feed
+        # (_tex_feed rows); untextured materials keep the baked curve path
+        texm = _mat_param(mat_tab, _M_TEXF, mat_id, n_mats) > 0.5
+        refl = [jnp.where(texm, _tile(tf_ref[ci, :]), refl[ci])
+                for ci in range(C)]
 
     shadow_ct = jnp.zeros((SUB, 128), jnp.float32)
 
@@ -1338,7 +1473,8 @@ def _row_spec(rows):
 
 
 @_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
-def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
+def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret,
+             tf=None):
     import jax.random as jrandom
 
     settings = dict(settings_t)
@@ -1364,6 +1500,10 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret):
     if env_args is not None:
         ins.append(_env_feed(env_args, state, u, ls, settings["c_lanes"]))
         in_specs.append(_row_spec(_ef_rows(ls, settings["c_lanes"])))
+    if consts.get("tex_feed"):
+        assert tf is not None, "tex_feed scenes must ride _mega_step_texfeed"
+        ins.append(tf)
+        in_specs.append(_row_spec(_tf_rows(settings["c_lanes"])))
     return pl.pallas_call(
         functools.partial(_shade_kernel, consts, settings),
         grid=(n_pad // TILE,),
@@ -1538,6 +1678,28 @@ def _mega_step_multi(state, counters, it_dev, tabs, key, settings_t,
             state, k2, dense_tab, counters, key, it_dev, settings_t,
             consts_t, interpret)
     return state, counters, it_dev
+
+
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
+def _mega_step_texfeed(state, counters, it_dev, tabs, tex_args, key,
+                       settings_t, consts_t, interpret):
+    """One bounce round for scenes with uv-dependent surface textures:
+    K1 sweep | XLA texture feed | K2 shade | K34, all in ONE dispatched
+    program (3 pallas calls + XLA rows between — the post-outage AOT
+    compiler handles multi-call programs in seconds). The feed needs the
+    sweep's hit rows, so the K1+K2-fused kernels cannot host it."""
+    from pathtracer_tpu.kernels.dense import sweep_closest_rows
+
+    dense_tab = tabs[1]
+    tp = sweep_closest_rows(state, dense_tab, row0=S_O,
+                            tmin_c=INTERSECTION_TIME_OFFSET, tmax_c=RAY_TMAX,
+                            src_rows=8, interpret=interpret,
+                            chunk_types=dict(consts_t).get("ct8"))
+    tf = _tex_feed(tex_args, state, tp, dict(settings_t)["c_lanes"])
+    k2 = _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t,
+                  interpret, tf=tf)
+    return _k34_call.raw(state, k2, dense_tab, counters, key, it_dev,
+                         settings_t, consts_t, interpret)
 
 
 def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
@@ -1783,8 +1945,12 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # round — the feed's XLA ops must live between the kernels. Escape
     # hatches: PT_MEGA_NOFUSED / PT_MEGA_3PROG / PT_MEGA_1PROG /
     # PT_MEGA_ROUNDS.
+    tex_feed = bool(scene.consts.get("tex_feed"))
     rounds_per_prog = max(int(_os.environ.get("PT_MEGA_ROUNDS", "1")), 1)
+    if tex_feed:
+        rounds_per_prog = 1  # the tex round is always its own program
     fused_ok = (scene.env_args is None
+                and not tex_feed
                 and int(settings.light_samples) > 0
                 and scene.dense_tab.shape[0] // 32 <= 4
                 and not _os.environ.get("PT_MEGA_NOFUSED")
@@ -1795,13 +1961,21 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     # 110.4), -33% on the ls=0 furnace (27 vs 40, cause not yet isolated)
     # and slower + scoped-vmem-heavier on multi-chunk scenes (gem) — hence
     # the ls>0 and chunk gates above.
-    step_fn = (_step_fused if fused_ok
-               else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
-               else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
-               else functools.partial(_mega_step_multi,
-                                      rounds=rounds_per_prog)
-               if rounds_per_prog > 1
-               else _mega_step)
+    if tex_feed:
+        # uv-dependent surface textures: the feed needs K1's hit rows, so
+        # the round is K1 | feed | K2 | K34 in one program (no fused/multi
+        # variants)
+        def step_fn(st, ct, itd, tb, k, s_t, c_t, ip):
+            return _mega_step_texfeed(st, ct, itd, tb, scene.tex_args, k,
+                                      s_t, c_t, ip)
+    else:
+        step_fn = (_step_fused if fused_ok
+                   else _mega_step_3prog if _os.environ.get("PT_MEGA_3PROG")
+                   else _mega_step_1prog if _os.environ.get("PT_MEGA_1PROG")
+                   else functools.partial(_mega_step_multi,
+                                          rounds=rounds_per_prog)
+                   if rounds_per_prog > 1
+                   else _mega_step)
     # hard cap: expected rounds ~ per-lane spp x mean path length; 8x headroom
     max_iters = int((spp // replicas) * settings.max_bounces * 8 + 64)
     # occupancy compaction ladder (OPT-IN, PT_MEGA_COMPACT=1): once the
