@@ -25,6 +25,9 @@ SCENES = [
     ("data/scenes/candela_calibration.toml", dict(), True),
     ("data/scenes/cornell_box_metals_and_dielectrics.toml", dict(), True),
     ("data/scenes/test_prism.toml", dict(), False),  # light occluded w/o env
+    # constructible since the synthetic test.png + kiara stand-ins
+    # (tools/gen_texture_assets.py) shadow the reference's missing assets
+    ("data/scenes/cornell_box_textured_walls.toml", dict(), True),
 ]
 
 

@@ -137,6 +137,35 @@ def test_mega_texfeed_matches_regen(textured):
 
 
 @pytest.mark.slow
+def test_tex_lut_matches_general_eval(textured, monkeypatch):
+    """The baked (texel, λ-knot) LUT path must agree with the general
+    eval_texture path to f32 reassociation error (the layer sum commutes
+    with the λ-lerp, so the two differ only in summation order)."""
+    import pathtracer_tpu.kernels.megakernel as mk
+
+    w = h = 24
+    spp = 4
+    cam = build_camera(textured.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=3, min_bounces=1, light_samples=1,
+                          russian_roulette=False)
+    scene_lut = build_mega_scene(textured.world, cam, settings)
+    assert scene_lut.tex_args[4] is not None, "LUT bake unexpectedly skipped"
+    acc_l, c_l = pt_trace_regen_mega(textured.world, cam, settings, w, h,
+                                     spp, jax.random.PRNGKey(23),
+                                     interpret=True)
+    monkeypatch.setattr(mk, "TEX_LUT_MAX_TEXELS", 0)
+    mk._SCENE_CACHE.clear()  # keyed on (world, camera) identity
+    scene_gen = build_mega_scene(textured.world, cam, settings)
+    assert scene_gen.tex_args[4] is None
+    acc_g, c_g = pt_trace_regen_mega(textured.world, cam, settings, w, h,
+                                     spp, jax.random.PRNGKey(23),
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(c_l), np.asarray(c_g))
+    np.testing.assert_allclose(np.asarray(acc_l), np.asarray(acc_g),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
 def test_mega_texfeed_hwss(textured):
     """C=4 hero-wavelength lanes through the texture feed (each companion
     evaluates the full layer stack at its own lambda)."""
