@@ -156,18 +156,27 @@ def config_bdpt_lt(out):
         search_paths=[REPO, "/root/reference"],
         cache_dir="/tmp/pt_cache", camera_surfaces=True)
     camera = build_camera(bundle.camera_by_id("main"), aspect_ratio=1.0)
-    bd = BDPTSettings(max_depth=6)
-    render_bdpt(bundle.world, camera, bd, 512, 512, 1, key=jax.random.PRNGKey(0))
+    # The tunnel needs TWO calls after compile to reach steady dispatch
+    # (measured 2026-08-19: 19.8s compile -> 1.8s -> 0.25s/chunk; the r3
+    # bench number 0.96 Mrays/s was that second-call overhead, not render
+    # cost). Warm with min_samples=2 so the timed run starts at steady
+    # state — the same warm-render-then-time protocol the PT configs use.
+    # max_depth=4: the rebuilt tunnel's AOT compiler takes 119s on the
+    # md=4 BDPT program but 853s on md=6 (tools/probe_bdpt_steady.py,
+    # 2026-08-19) — md=6 steady state is 13.3 Mrays/s but its compile
+    # alone blows the driver cap.
+    bd = BDPTSettings(max_depth=4)
+    render_bdpt(bundle.world, camera, bd, 512, 512, 2, key=jax.random.PRNGKey(0))
     t0 = time.perf_counter()
-    film, prof, _ = render_bdpt(bundle.world, camera, bd, 512, 512, 2,
+    film, prof, _ = render_bdpt(bundle.world, camera, bd, 512, 512, 4,
                                 key=jax.random.PRNGKey(1))
     np.asarray(film)
     out["bdpt_cornell_512_mrays"] = round(
         prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
     lt = LTSettings(max_bounces=8, stratified=True)
-    render_splatted(bundle.world, camera, lt, 512, 512, 1, key=jax.random.PRNGKey(0))
+    render_splatted(bundle.world, camera, lt, 512, 512, 2, key=jax.random.PRNGKey(0))
     t0 = time.perf_counter()
-    film, prof, _ = render_splatted(bundle.world, camera, lt, 512, 512, 4,
+    film, prof, _ = render_splatted(bundle.world, camera, lt, 512, 512, 8,
                                     key=jax.random.PRNGKey(1))
     np.asarray(film)
     out["lt_cornell_512_mrays"] = round(
