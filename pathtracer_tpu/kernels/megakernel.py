@@ -23,12 +23,19 @@ SOFT one-hot over the 512 λ-knots (lerp weights at i0/i0+1) and rides ONE
 CIE x̄ȳz̄ use the closed-form Wyman fits (core/cie.py) directly.
 
 Scope (gated by mega_available): projective thin-lens camera, identity
-transforms, ≤8192 prims, 1×1 surface textures, surface-only transport,
-≤16 lights, ≤24 materials. Constant, Sun AND HDR environments are covered:
-non-constant env emission / pdf_for / NEE sampling run in XLA inside the
-same dispatched program (they depend only on state rows + the bounce's
-uniforms — see _env_feed) and are fed to the kernel as per-lane rows.
-Everything else falls back to the XLA path.
+transforms, ≤8192 prims, ≤16 lights, ≤24 materials. Constant, Sun AND HDR
+environments are covered: non-constant env emission / pdf_for / NEE
+sampling run in XLA inside the same dispatched program (they depend only
+on state rows + the bounce's uniforms — see _env_feed) and are fed to the
+kernel as per-lane rows. Uv-dependent surface textures ride the same
+pattern between K1 and K2 (_tex_feed), and MEDIUM-AWARE transport
+(tracked-medium stack, HG/Rayleigh free flight + phase sampling + NEE
+transmittance, utils.rs:708-1103) rides _med_feed: the flight distance,
+σ sums, σ-share scatterer pick and phase-sampled direction depend only on
+state rows + the bounce's uniforms, so they compute in XLA and the kernels
+handle only the hit-dependent parts (scatter classification, Beer–Lambert
+weights, closed-form NEE phase eval, stack transitions). Everything else
+falls back to the XLA path.
 RNG is the on-chip Mosaic PRNG (seeded per (seed, kernel, iteration,
 program)), so films agree with the XLA integrator statistically (same
 estimator, different sample sequence) — validated by white-furnace unity
@@ -134,8 +141,13 @@ S_ACC = 18
 S_DONE, S_ALIVE, S_BOUNCE, S_PREV_PDF = 21, 22, 23, 24
 S_PIX = 25  # owning pixel index (f32; lanes survive compaction permutations)
 S_PDFR = 26  # C_LANES rows: spectral-MIS pdf-ratio products Π p_c/p_0 (lane0 ≡ 1)
+# tracked-medium stack (medium-aware scenes; utils.rs:940-1005): 4 medium
+# ids packed 2-per-row as id_even + 256·id_odd — ids are u8 so the packed
+# value stays < 2^16, exact in f32. Zero rows = vacuum (non-medium scenes
+# never touch them).
+S_MSTK0, S_MSTK1 = 30, 31
 NS = 32
-assert S_PDFR + C_LANES <= NS
+assert S_PDFR + C_LANES <= S_MSTK0
 # Megakernel scene-size ceiling. The dense sweeps loop homogeneous chunk
 # runs (dense.sweep_rowgroup) and the prim record fetch blocks its one-hot
 # (_prim_attr_fetch), so compute scales O(P) with flat compile time; at 8k
@@ -159,7 +171,10 @@ O_RATIO = 9        # 4
 O_ONEW = 13        # 3
 O_DNEW = 16        # 3
 O_PSCALE = 19      # 4: per-lane pdf ratio p_c/p_0 at the sampled direction
-O_NEE = 23         # per light sample: so(3) dir(3) tmax(1) worth(1) contrib(4) = 12
+O_SCAT = 23        # medium scatter event flag (medium-aware scenes only)
+O_MEDW = 24        # 4: per-lane medium weight (free-flight w_exp / w_scat)
+O_MSTK = 28        # 2: transitioned packed medium stack (utils.rs:940-1005)
+O_NEE = 30         # per light sample: so(3) dir(3) tmax(1) worth(1) contrib(4) = 12
 
 
 def _k2_rows(light_samples):
@@ -188,6 +203,9 @@ class MegaScene(NamedTuple):
                             # CurveBank, mat2tex f32[128], uvtab f32[P,16])
                             # pytree for the XLA surface-texture feed
                             # (_tex_feed; reference src/texture.rs:204-276)
+    med_args: object = None  # None (surface-only transport) or (Mediums,
+                            # CurveBank, radius) pytree for the XLA medium
+                            # feed (_med_feed; utils.rs:708-1103)
 
 
 # prim_tab extra rows (0..10 are dense.py's)
@@ -198,7 +216,8 @@ _NP_ROWS = 24
 # mat_tab rows
 _M_TYPE, _M_ALPHA, _M_METAL, _M_PERM, _M_SIDE, _M_SHARP, _M_RSCALE = range(7)
 _M_TEXF = 7  # 1.0 where lambertian reflectance rides the XLA texture feed
-_NM_ROWS = 8
+_M_INNER, _M_OUTER = 8, 9  # medium ids (utils.rs:940-1005 transitions)
+_NM_ROWS = 16
 
 # light_tab rows
 _L_PA, _L_PB, _L_PC = 0, 3, 6
@@ -213,9 +232,11 @@ def mega_available(world, camera, settings) -> bool:
 
     if not isinstance(camera, ProjectiveCamera):
         return False
-    if settings.medium_aware:
-        return False
     w = world
+    if settings.medium_aware and int(w.mediums.count) > 16:
+        # medium-aware transport rides the XLA medium feed (_med_feed);
+        # per-medium σ/g LUT gathers scale with the medium count
+        return False
     if w.accel2 is not None:
         return False
     if int(w.prims.xf_inv.shape[0]) != 1:
@@ -310,7 +331,8 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     hm = {name: np.asarray(getattr(mats, name))
           for name in ("mtype", "alpha", "metallic", "permeability",
                        "sidedness", "sharpness", "tex_id", "bounce_idx",
-                       "eta_idx", "eta_o_idx", "kappa_idx", "emit_idx")}
+                       "eta_idx", "eta_o_idx", "kappa_idx", "emit_idx",
+                       "inner_medium", "outer_medium")}
     mt = np.zeros((_NM_ROWS, m_pad), np.float32)
     mt[_M_TYPE, :m] = hm["mtype"]
     mt[_M_ALPHA, :m] = hm["alpha"]
@@ -318,6 +340,8 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     mt[_M_PERM, :m] = hm["permeability"]
     mt[_M_SIDE, :m] = hm["sidedness"]
     mt[_M_SHARP, :m] = hm["sharpness"]
+    mt[_M_INNER, :m] = hm["inner_medium"]
+    mt[_M_OUTER, :m] = hm["outer_medium"]
     # lambertian reflectance = tex layer weight x layer curve (1x1 textures);
     # light bounce colors use the bounce curve with weight 1
     tex = w.tex
@@ -431,6 +455,8 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         cam_blades=int(camera.blades),
         cam_sharp=float(camera.blade_sharpness),
         tex_feed=bool(texf.any()),
+        medium=bool(getattr(settings, "medium_aware", False)),
+        radius=float(np.asarray(w.radius)),
     )
     tex_args = None
     if texf.any():
@@ -475,6 +501,7 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         env_args=None if env_kind == _ENV_CONST else (
             w.env, w.bank, w.tex, _bake_env_lut(w.env, w.bank, w.tex)),
         tex_args=tex_args,
+        med_args=(w.mediums, w.bank) if consts["medium"] else None,
     )
 
 
@@ -619,13 +646,15 @@ def _flatrow(x):
     return x.reshape(TILE)
 
 
-def _n_u_rows(light_samples):
-    """K2's uniform rows: 3 per NEE sample + 3 (bsdf sample), padded to a
-    sublane multiple. Drawn with jax.random INSIDE each kernel-call's jit
-    (threefry + one pallas call per program compiles fine on the tunnel;
-    the Mosaic in-kernel PRNG returns int32 bits and the TPU interpreter
-    stubs it to zeros, so host-fed uniforms stay the portable choice)."""
-    return -(-(3 * light_samples + 3) // 8) * 8
+def _n_u_rows(light_samples, medium=False):
+    """K2's uniform rows: 3 per NEE sample + 3 (bsdf sample) + 4 medium
+    rows (free-flight, scatterer pick, phase u1/u2) when medium-aware,
+    padded to a sublane multiple. Drawn with jax.random INSIDE each
+    kernel-call's jit (threefry + one pallas call per program compiles fine
+    on the tunnel; the Mosaic in-kernel PRNG returns int32 bits and the CPU
+    interpreter stubs it to zeros, so host-fed uniforms stay the portable
+    choice)."""
+    return -(-(3 * light_samples + 3 + (4 if medium else 0)) // 8) * 8
 
 
 NU4 = 8  # K4's uniform rows: 1 (RR) + 5 (respawn), padded
@@ -773,6 +802,138 @@ def _tex_feed(tex_args, state, tp, c_lanes):
         tf = jnp.concatenate(
             [tf, jnp.zeros((pad, tf.shape[1]), jnp.float32)])
     return tf
+
+
+# ---- medium feed rows (medium-aware scenes; _env_feed pattern applied to
+# the tracked-medium free flight of utils.rs:708-805)
+def _mf_idx(C):
+    """Row offsets into the medium-feed block for c_lanes == C."""
+    i = {}
+    i["flight"] = 0        # sampled free-flight distance (hero σs; vacuum→3e38)
+    i["sigt"] = 1          # C rows: Σ σ_t over the tracked stack, per hero λ
+    i["sigs"] = 1 + C      # C rows: Σ σ_s
+    i["ssh"] = 1 + 2 * C   # hero Σ σ_s (flight rate)
+    i["wo"] = i["ssh"] + 1     # 3 rows: phase-sampled continuation direction
+    i["phpdf"] = i["wo"] + 3   # hero phase pdf at the sampled direction
+    i["phs"] = i["phpdf"] + 1  # C rows: companion/hero phase ratio (lane0=1)
+    i["g"] = i["phs"] + C      # C rows: scatterer's HG g per hero λ
+    i["isray"] = i["g"] + C    # scatterer is Rayleigh (phase eval branch)
+    i["inmed"] = i["isray"] + 1  # any tracked medium nonzero
+    i["n"] = i["inmed"] + 1
+    return i
+
+
+def _mf_rows(c_lanes):
+    return -(-_mf_idx(c_lanes)["n"] // 8) * 8
+
+
+def _unpack_stack_rows(r0, r1):
+    """4 medium ids from the two packed state rows (id_even + 256·id_odd)."""
+    s0 = jnp.floor(r0 + 0.5) % 256.0
+    s1 = jnp.floor((r0 + 0.5) / 256.0)
+    s2 = jnp.floor(r1 + 0.5) % 256.0
+    s3 = jnp.floor((r1 + 0.5) / 256.0)
+    return [s0, s1, s2, s3]
+
+
+def _med_feed(med_args, state, u, light_samples, c_lanes):
+    """XLA-side medium feed for medium-aware scenes.
+
+    Everything the kernels need from the tracked-medium stack is computable
+    OUTSIDE the pallas calls, inside the same dispatched program: the
+    free-flight distance, combined σ coefficients, the σ-share scatterer
+    pick, and the phase-sampled continuation direction depend only on state
+    rows (packed stack S_MSTK*, λ lanes, ray direction) and this bounce's
+    uniform rows — none of which the K1 sweep changes. So the tested XLA
+    medium module (mediums/tables.py: medium_coefficients / phase_sample /
+    phase_eval — HG + Rayleigh, utils.rs:708-805) produces per-lane rows and
+    the kernels handle only what needs the hit distance: the scatter-vs-
+    surface classification, Beer–Lambert weights (exp lowers under Mosaic),
+    and the closed-form NEE phase eval toward the in-kernel NEE direction
+    (HG/Rayleigh from the fed g rows)."""
+    from pathtracer_tpu.mediums.tables import (
+        MED_RAYLEIGH,
+        medium_coefficients,
+        phase_eval,
+        phase_sample,
+    )
+
+    meds, bank = med_args
+    n_pad = state.shape[1]
+    C = c_lanes
+    lam_nc = state[S_LAM:S_LAM + C].T          # [n, C]
+    lam_f = lam_nc.reshape(-1)
+    d = state[S_D:S_D + 3].T                   # [n, 3]
+
+    def rep(x):
+        return jnp.repeat(x, C, axis=0)
+
+    def lanes(x):
+        return x.reshape(n_pad, C)
+
+    stack = [s.astype(jnp.int32)
+             for s in _unpack_stack_rows(state[S_MSTK0], state[S_MSTK1])]
+    sigma_s = jnp.zeros((n_pad, C))
+    sigma_a = jnp.zeros((n_pad, C))
+    ss_hero_slots = []
+    for k in range(4):
+        ss_k, sa_k, _ = [
+            lanes(x) for x in medium_coefficients(meds, bank, rep(stack[k]),
+                                                  lam_f)
+        ]
+        sigma_s = sigma_s + ss_k
+        sigma_a = sigma_a + sa_k
+        ss_hero_slots.append(ss_k[:, 0])
+    sigma_t = sigma_s + sigma_a
+    ss_hero = sigma_s[:, 0]
+    base = 3 * light_samples + 3
+    u_flight, u_pick, u_ph1, u_ph2 = (u[base], u[base + 1], u[base + 2],
+                                      u[base + 3])
+    # hero free flight (utils.rs:767-789 per-medium race == one combined
+    # exponential with rate Σσs + σ-share categorical pick); vacuum → no
+    # scatter (a huge finite stand-in for inf keeps the f32 rows clean)
+    flight = jnp.where(
+        ss_hero > 1e-12,
+        -jnp.log(jnp.maximum(1.0 - u_flight, 1e-12))
+        / jnp.maximum(ss_hero, 1e-12),
+        3e38,
+    )
+    ss_slots = jnp.stack(ss_hero_slots, axis=-1)  # [n, 4]
+    cum = jnp.cumsum(ss_slots, axis=-1)
+    pick = u_pick * jnp.maximum(ss_hero, 1e-20)
+    slot = jnp.sum((cum < pick[:, None]).astype(jnp.int32), axis=-1)
+    slot = jnp.minimum(slot, 3)
+    stack_m = jnp.stack(stack, axis=-1)
+    scat_med = jnp.take_along_axis(stack_m, slot[:, None], axis=-1)[:, 0]
+    in_med = jnp.any(stack_m != 0, axis=-1)
+    # phase sampling at the (potential) scatter event (pt_regen.py:286-303)
+    wo_med, ph_pdf = phase_sample(meds, bank, scat_med, lam_nc[:, 0], d,
+                                  u_ph1, u_ph2)
+    ph_lanes = lanes(phase_eval(
+        meds, bank, rep(scat_med), lam_f,
+        rep(jnp.sum(d * wo_med, axis=-1))))
+    ph0 = ph_lanes[:, :1]
+    ph_scale = jnp.where(ph0 > 0.0, ph_lanes / jnp.where(ph0 > 0.0, ph0, 1.0),
+                         0.0)
+    ph_scale = jnp.concatenate([jnp.ones((n_pad, 1)), ph_scale[:, 1:]], 1)
+    # scatterer's spectral phase parameters for the in-kernel NEE phase eval
+    from pathtracer_tpu.core import spectral
+
+    g_lanes = lanes(spectral.evaluate(bank, meds.g_idx[rep(scat_med)], lam_f))
+    is_ray = (meds.mtype[scat_med] == MED_RAYLEIGH)
+    g_lanes = jnp.where(is_ray[:, None], 0.0, g_lanes)
+    rows = [flight]
+    rows += [sigma_t[:, ci] for ci in range(C)]
+    rows += [sigma_s[:, ci] for ci in range(C)]
+    rows += [ss_hero, wo_med[:, 0], wo_med[:, 1], wo_med[:, 2], ph_pdf]
+    rows += [ph_scale[:, ci] for ci in range(C)]
+    rows += [g_lanes[:, ci] for ci in range(C)]
+    rows += [is_ray.astype(jnp.float32), in_med.astype(jnp.float32)]
+    mf = jnp.stack(rows).astype(jnp.float32)
+    pad = _mf_rows(C) - mf.shape[0]
+    if pad:
+        mf = jnp.concatenate([mf, jnp.zeros((pad, n_pad), jnp.float32)])
+    return mf
 
 
 def _sel_rows(mat_prod, ids, rows, n, stride=1, base=0):
@@ -954,10 +1115,11 @@ def _shade_kernel(consts, settings,
     out_ref = rest.pop()
     ef_ref = rest.pop(0) if consts.get("env_kind", 0) != 0 else None
     tf_ref = rest.pop(0) if consts.get("tex_feed") else None
+    mf_ref = rest.pop(0) if consts.get("medium") else None
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref,
                 t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]),
-                ef_ref=ef_ref, tf_ref=tf_ref)
+                ef_ref=ef_ref, tf_ref=tf_ref, mf_ref=mf_ref)
 
 
 def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
@@ -967,7 +1129,10 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
     the K3xls+K4 fusion this makes the bounce round exactly TWO dispatched
     programs on a tunnel whose per-program dispatch latency exceeds each
     kernel's device compute at 1080p."""
-    ef_ref, out_ref = rest if len(rest) == 2 else (None, rest[0])
+    rest = list(rest)
+    out_ref = rest.pop()
+    ef_ref = rest.pop(0) if consts.get("env_kind", 0) != 0 else None
+    mf_ref = rest.pop(0) if consts.get("medium") else None
     s = lambda i: _tile(state_ref[i, :])
     o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
     d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
@@ -976,7 +1141,7 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
                               aabb_base=consts.get("aabb_base"))
     _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid,
-                ef_ref=ef_ref)
+                ef_ref=ef_ref, mf_ref=mf_ref)
 
 
 _ONEHOT_MAX = 1024   # single-matmul prim fetch up to here (programs for
@@ -1020,10 +1185,11 @@ def _prim_attr_fetch(prim_ref, pid_c):
 
 def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 light_ref, spec_ref, out_ref, t_hit, pid, ef_ref=None,
-                tf_ref=None):
+                tf_ref=None, mf_ref=None):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
+    medium = bool(c.get("medium"))
     env_kind = c.get("env_kind", 0)  # static; != 0 => ef_ref rows are fed
     nee_enabled = ls > 0
     p_env = c["p_env"]
@@ -1061,6 +1227,50 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     mat_id = mat_id_f  # float ids compared against float loop constants
     at_surface = alive & hit & (kind != 2.0)
 
+    # ---- tracked-medium free flight (pt_regen.py:108-144 / utils.rs:767-
+    # 805): the flight distance, σ sums, scatterer pick and phase-sampled
+    # direction come from the XLA medium feed (_med_feed); only what needs
+    # the hit distance happens here: scatter-vs-surface classification and
+    # the hero-divide-out Beer–Lambert lane weights (exp lowers in Mosaic).
+    if medium:
+        mfi = _mf_idx(C)
+        mf = lambda i: _tile(mf_ref[i, :])
+        flight = mf(mfi["flight"])
+        sig_t = [mf(mfi["sigt"] + ci) for ci in range(C)]
+        sig_s = [mf(mfi["sigs"] + ci) for ci in range(C)]
+        ss_hero = mf(mfi["ssh"])
+        in_med = mf(mfi["inmed"]) > 0.5
+        g_scat = [mf(mfi["g"] + ci) for ci in range(C)]
+        is_ray = mf(mfi["isray"]) > 0.5
+        surf_t = jnp.where(hit, t_hit, RAY_TMAX)
+        scattered = alive & (flight < surf_t)
+        travel = jnp.minimum(jnp.minimum(flight, surf_t), 1e8)
+        inv_ssh = jnp.where(ss_hero > 0.0,
+                            1.0 / jnp.where(ss_hero > 0.0, ss_hero, 1.0), 0.0)
+        medw = []
+        for ci in range(C):
+            w_exp = jnp.exp(-(sig_t[ci] - ss_hero) * travel)
+            lane_w = jnp.where(scattered, sig_s[ci] * inv_ssh * w_exp, w_exp)
+            lane_w = jnp.where(in_med, lane_w, 1.0)
+            medw.append(lane_w)
+            beta[ci] = beta[ci] * lane_w
+        at_surface = at_surface & ~scattered
+        scat_p = o + d.scale(travel)
+
+        def _phase_lane(ci, cos_sc):
+            # closed-form HG / Rayleigh phase toward an in-kernel direction
+            # (mediums/hg.py:15-21, rayleigh.py:23-24) with the scatterer's
+            # fed spectral g
+            g = g_scat[ci]
+            g2 = g * g
+            den = 1.0 + g2 - 2.0 * g * cos_sc
+            p_hg = (1.0 - g2) / jnp.maximum(
+                4.0 * jnp.pi * den * jnp.sqrt(jnp.maximum(den, 1e-12)), 1e-12)
+            p_ray = 3.0 / (16.0 * jnp.pi) * (1.0 + cos_sc * cos_sc)
+            return jnp.where(is_ray, p_ray, p_hg)
+    else:
+        scattered = jnp.zeros((SUB, 128), bool)
+
     # ---- spectral matmul per λ lane: all curves at this lane's λ.
     # Precision is a per-scene static: HIGHEST costs ~6 bf16 MXU passes and
     # dominated K2's device time; DEFAULT (single bf16 pass, f32
@@ -1075,7 +1285,7 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     env_row = 5 * n_mats
 
     # ---- escape: env emission (env_emission, world/environment.py)
-    escaped = alive & ~hit
+    escaped = alive & ~hit & ~scattered
     if nee_enabled and p_env > 0.0:
         if env_kind != 0:
             # HDR/Sun: solid-angle pdf_for(d) computed in XLA and fed
@@ -1125,6 +1335,8 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     # ---- shading frame
     tgt, btg = cmath.orthonormal_basis(normal)
     wi_local = cmath.to_local(tgt, btg, normal, wi_world)
+    # NEE source point: the scatter point for medium events (pt_regen:179-183)
+    point_m = cmath.where(scattered, scat_p, point) if medium else point
 
     # per-lane material parameters + spectra for bsdf dispatch
     alpha = _mat_param(mat_tab, _M_ALPHA, mat_id, n_mats)
@@ -1181,7 +1393,7 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             l_sharp = lrow(_L_SHARP)
             lp, ln = _sample_surface_light(lp_type, lpa, lpb, lpc, u1, u2)
             area_pdf = 1.0 / jnp.maximum(l_area, 1e-20)
-            to_l = lp - point
+            to_l = lp - point_m
             dist2 = jnp.maximum(cmath.length_squared(to_l), 1e-12)
             dist = jnp.sqrt(dist2)
             dir_l = to_l.scale(1.0 / dist)
@@ -1238,15 +1450,26 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 else:
                     le_ci = le_inst
                 thr_ci = f_ci * jnp.abs(wo_local.z)
+                if medium:
+                    # medium scatter: phase toward the NEE dir replaces the
+                    # surface throughput (pt_regen.py:218-229)
+                    ph_ci = _phase_lane(ci, cmath.dot(d, nee_dir))
+                    thr_ci = jnp.where(scattered, ph_ci, thr_ci)
+                    if ci == 0:
+                        pdf_s0 = jnp.where(scattered, ph_ci, pdf_s0)
                 max_le = jnp.maximum(max_le, le_ci)
                 max_thr = jnp.maximum(max_thr, thr_ci)
                 contribs.append((thr_ci, le_ci))
-            worth = (at_surface & (max_le > 0.0) & (nee_pdf > 1e-12)
+            nee_src = (at_surface | scattered) if medium else at_surface
+            worth = (nee_src & (max_le > 0.0) & (nee_pdf > 1e-12)
                      & (max_thr > 0.0))
             w_nee = _balance(nee_pdf, jnp.maximum(pdf_s0, 0.0))
             w_nee = jnp.where(nee_pdf + jnp.maximum(pdf_s0, 0.0) > 0.0, w_nee, 1.0)
-            so = point + gn.scale(
-                NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9))
+            off_n = NORMAL_OFFSET * jnp.sign(cmath.dot(gn, nee_dir) + 1e-9)
+            if medium:
+                # no surface-normal offset at a scatter point (pt_regen:233-238)
+                off_n = jnp.where(scattered, 0.0, off_n)
+            so = point_m + gn.scale(off_n)
             base = O_NEE + 12 * si
             out_ref[base + 0, :] = _flatrow(so.x)
             out_ref[base + 1, :] = _flatrow(so.y)
@@ -1261,10 +1484,20 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
                 thr_ci, le_ci = contribs[ci]
                 contrib = (beta[ci] * s_mis * thr_ci * le_ci
                            * w_nee * inv_pdf * inv_ls)
+                if medium:
+                    # NEE transmittance through the tracked media
+                    # (pt_regen.py:245-253): Beer–Lambert over the shadow
+                    # distance (env samples: 2·world_radius)
+                    tr_dist = (jnp.where(chose_env, 2.0 * c["radius"], dist)
+                               if p_env > 0.0 else dist)
+                    tr_ci = jnp.where(
+                        in_med,
+                        jnp.exp(-sig_t[ci] * jnp.minimum(tr_dist, 1e8)), 1.0)
+                    contrib = contrib * tr_ci
                 out_ref[base + 8 + ci, :] = _flatrow(contrib)
             for ci in range(C, C_LANES):
                 out_ref[base + 8 + ci, :] = jnp.zeros((TILE,), jnp.float32)
-            shadow_ct = shadow_ct + (at_surface & worth).astype(jnp.float32)
+            shadow_ct = shadow_ct + worth.astype(jnp.float32)
 
     # ---- BSDF sample (hero) + HWSS lane ratios (pt_regen.py:168-186)
     u_b = [_tile(u_ref[3 * ls + i, :]) for i in range(3)]
@@ -1314,6 +1547,55 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     d_new = cmath.normalize(cmath.to_world(tgt, btg, normal, wo_local_s))
     o_new = point + gn.scale(NORMAL_OFFSET * jnp.sign(cmath.dot(gn, d_new)))
 
+    if medium:
+        # scatter events continue along the fed phase-sampled direction
+        # from the scatter point; phase value == pdf (perfect importance
+        # sampling), so the hero ratio is 1 and companion ratios are the
+        # fed phase ratios (pt_regen.py:284-308)
+        wo_m = V3(mf(mfi["wo"]), mf(mfi["wo"] + 1), mf(mfi["wo"] + 2))
+        ph_pdf = mf(mfi["phpdf"])
+        ph_s = [mf(mfi["phs"] + ci) for ci in range(C)]
+        d_new = cmath.where(scattered, wo_m, d_new)
+        o_new = cmath.where(scattered, scat_p, o_new)
+        f_pdf = jnp.where(scattered, ph_pdf, f_pdf)
+        ratios = [jnp.where(scattered, ph_s[ci], ratios[ci])
+                  for ci in range(C)]
+        sample_ok = sample_ok | scattered
+
+        # ---- medium boundary transitions on transmission
+        # (utils.rs:940-1005 via pt_regen.py:330-339): remove one
+        # occurrence of the departed side's medium, push the entered side's
+        stack = _unpack_stack_rows(s(S_MSTK0), s(S_MSTK1))
+        crossed = at_surface & (wo_local_s.z * wi_local.z < 0.0)
+        entering = wo_local_s.z < 0.0
+        inner = _mat_param(mat_tab, _M_INNER, mat_id, n_mats)
+        outer = _mat_param(mat_tab, _M_OUTER, mat_id, n_mats)
+        do_tr = crossed & (inner != outer)
+        rm_id = jnp.where(entering, outer, inner)
+        add_id = jnp.where(entering, inner, outer)
+        seen = jnp.zeros((SUB, 128), bool)
+        for k in range(4):
+            match = (stack[k] == rm_id) & do_tr & (rm_id > 0.5)
+            sel = match & ~seen
+            seen = seen | match
+            stack[k] = jnp.where(sel, 0.0, stack[k])
+        seen = jnp.zeros((SUB, 128), bool)
+        for k in range(4):
+            empty = stack[k] < 0.5
+            sel = empty & ~seen & do_tr & (add_id > 0.5)
+            seen = seen | empty
+            stack[k] = jnp.where(sel, add_id, stack[k])
+        out_ref[O_SCAT, :] = _flatrow(scattered.astype(jnp.float32))
+        for ci in range(C):
+            out_ref[O_MEDW + ci, :] = _flatrow(medw[ci])
+        for ci in range(C, C_LANES):
+            out_ref[O_MEDW + ci, :] = jnp.ones((TILE,), jnp.float32)
+        out_ref[O_MSTK + 0, :] = _flatrow(stack[0] + 256.0 * stack[1])
+        out_ref[O_MSTK + 1, :] = _flatrow(stack[2] + 256.0 * stack[3])
+    else:
+        for row in range(O_SCAT, O_NEE):
+            out_ref[row, :] = jnp.zeros((TILE,), jnp.float32)
+
     # ---- write out
     # spectral-MIS pdf ratios p_c/p_0 at the sampled direction
     inv_p0 = jnp.where(p_lanes[0] > 0.0,
@@ -1323,6 +1605,9 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
         out_ref[O_RATIO + ci, :] = _flatrow(ratios[ci])
         psc = (jnp.ones((SUB, 128), jnp.float32) if ci == 0
                else p_lanes[ci] * inv_p0)
+        if medium and ci > 0:
+            # phase value == pdf, so the fed phase ratio IS the pdf ratio
+            psc = jnp.where(scattered, ph_s[ci], psc)
         out_ref[O_PSCALE + ci, :] = _flatrow(psc)
     for ci in range(C, C_LANES):
         out_ref[O_RAD + ci, :] = jnp.zeros((TILE,), jnp.float32)
@@ -1409,6 +1694,14 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     ratios = [k2(O_RATIO + i) for i in range(C)]
     o_new = V3(k2(O_ONEW), k2(O_ONEW + 1), k2(O_ONEW + 2))
     d_new = V3(k2(O_DNEW), k2(O_DNEW + 1), k2(O_DNEW + 2))
+    medium = bool(c.get("medium"))
+    if medium:
+        # free-flight lane weights computed in K2 (pt_regen applies them to
+        # beta before the contribution adds AND the continuation product)
+        scattered = k2(O_SCAT) > 0.5
+        beta = [beta[ci] * k2(O_MEDW + ci) for ci in range(C)]
+    else:
+        scattered = jnp.zeros((SUB, 128), bool)
 
     # ---- resolve NEE with shadow results
     for si in range(ls):
@@ -1422,7 +1715,10 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     ratio_best = ratios[0]
     for ci in range(1, C):
         ratio_best = jnp.maximum(ratio_best, ratios[ci])
-    sample_ok = sample_ok & (ratio_best > 0.0)
+    if medium:
+        # phase sampling is perfect importance sampling (pt_regen.py:306-308)
+        ratio_best = jnp.where(scattered, 1.0, ratio_best)
+    sample_ok = scattered | (sample_ok & (ratio_best > 0.0))
     u_rr = _tile(u_ref[0, :])
     if rr_enabled:
         rr_on = bounce_ct >= min_bounces
@@ -1438,8 +1734,8 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
         beta_next.append(bn)
         finite_ok = finite_ok & jnp.isfinite(bn)
     hit_depth_cap = (bounce_ct + 1.0) >= max_bounces
-    continue_path = (at_surface & sample_ok & survive & ~hit_depth_cap
-                     & finite_ok)
+    continue_path = ((at_surface | scattered) & sample_ok & survive
+                     & ~hit_depth_cap & finite_ok)
     if only_direct:
         continue_path = continue_path & ~(bounce_ct >= 1.0)
     bounce_ind = continue_path.astype(jnp.float32)
@@ -1537,8 +1833,17 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
         new_r = jnp.where(cp, s(S_PDFR + ci) * k2(O_PSCALE + ci),
                           jnp.where(hw, 1.0, s(S_PDFR + ci)))
         out_ref[S_PDFR + ci, :] = _flatrow(new_r)
+    if medium:
+        # transitioned packed stack on continuation; respawned camera paths
+        # restart in vacuum (pt_regen.py:370-372)
+        for i, row in enumerate((S_MSTK0, S_MSTK1)):
+            new_stk = jnp.where(cp, k2(O_MSTK + i),
+                                jnp.where(hw, 0.0, s(row)))
+            out_ref[row, :] = _flatrow(new_stk)
     for row in range(S_PREV_PDF + 1, NS):
         if S_PDFR <= row < S_PDFR + C:
+            continue
+        if medium and row in (S_MSTK0, S_MSTK1):
             continue
         out_ref[row, :] = state_ref[row, :]
     out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
@@ -1566,11 +1871,11 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret,
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
-    nu = _n_u_rows(ls)
+    nu = _n_u_rows(ls, consts.get("medium", False))
     u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
                         (nu, n_pad))
     ins = [u, state, tp, prim_tab, mat_tab, light_tab, spec_tab]
@@ -1590,6 +1895,9 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret,
         assert tf is not None, "tex_feed scenes must ride _mega_step_texfeed"
         ins.append(tf)
         in_specs.append(_row_spec(_tf_rows(settings["c_lanes"])))
+    if consts.get("medium"):
+        ins.append(_med_feed(med_args, state, u, ls, settings["c_lanes"]))
+        in_specs.append(_row_spec(_mf_rows(settings["c_lanes"])))
     return pl.pallas_call(
         functools.partial(_shade_kernel, consts, settings),
         grid=(n_pad // TILE,),
@@ -1608,11 +1916,11 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
-    nu = _n_u_rows(ls)
+    nu = _n_u_rows(ls, consts.get("medium", False))
     u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 0),
                         (nu, n_pad))
     ins = [u, state, dense_tab, prim_tab, mat_tab, light_tab, spec_tab]
@@ -1628,6 +1936,9 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     if env_args is not None:
         ins.append(_env_feed(env_args, state, u, ls, settings["c_lanes"]))
         in_specs.append(_row_spec(_ef_rows(ls, settings["c_lanes"])))
+    if consts.get("medium"):
+        ins.append(_med_feed(med_args, state, u, ls, settings["c_lanes"]))
+        in_specs.append(_row_spec(_mf_rows(settings["c_lanes"])))
     return pl.pallas_call(
         functools.partial(_shade_sweep_kernel, consts, settings),
         grid=(n_pad // TILE,),
@@ -1940,12 +2251,14 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     statistically, not bit-wise.
     """
     c_lanes = C_LANES if settings.hwss else 1
+    med_key = bool(settings.medium_aware)  # consts/med_args depend on it
     cached = _SCENE_CACHE.get("entry")
-    if cached is not None and cached[0] is world and cached[1] is camera:
+    if (cached is not None and cached[0] is world and cached[1] is camera
+            and cached[3] == med_key):
         scene = cached[2]
     else:
         scene = build_mega_scene(world, camera, settings)
-        _SCENE_CACHE["entry"] = (world, camera, scene)
+        _SCENE_CACHE["entry"] = (world, camera, scene, med_key)
     n = batch_n or (width * height)
     assert spp % replicas == 0, "replicas must divide spp"
     n_lanes = n * replicas
@@ -2006,7 +2319,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         wb_span=float(wb.span),
     )
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab, scene.env_args)
+            scene.spec_tab, scene.env_args, scene.med_args)
     settings_t = _freeze(settings_d)
     consts_t = _freeze(scene.consts)
 
@@ -2036,6 +2349,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     if tex_feed:
         rounds_per_prog = 1  # the tex round is always its own program
     fused_ok = (scene.env_args is None
+                and scene.med_args is None
                 and not tex_feed
                 and int(settings.light_samples) > 0
                 and scene.dense_tab.shape[0] // 32 <= 4
@@ -2717,10 +3031,11 @@ def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args = tabs
-    assert env_args is None, (
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
+    assert env_args is None and med_args is None, (
         "fused single-dispatch round does not support HDR/Sun environments "
-        "(pt_trace_regen_mega routes them to the split pipeline)")
+        "or medium-aware transport — their XLA feeds must live between the "
+        "kernels (pt_trace_regen_mega routes them to the split pipeline)")
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nu = _nu_fused(ls)

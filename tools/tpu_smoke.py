@@ -187,6 +187,34 @@ def check_hdri(results):
     results["hdri_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
 
 
+def check_medium(results):
+    """Medium-aware megakernel pass on chip: the medium feed rows (XLA free
+    flight / σ sums / phase sampling computed inside the same dispatched
+    program — kernels/megakernel._med_feed) plus the in-kernel Beer–Lambert
+    exp and stack transitions are a new Mosaic surface; CPU/interpret twins
+    live in tests/test_kernels_pallas.py (test_mega_matches_regen_medium,
+    test_mega_medium_beer_lambert)."""
+    import numpy as np
+    import jax
+
+    from pathtracer_tpu.parsing.cameras import build_camera
+    from pathtracer_tpu.integrator.pt import PTSettings
+    from pathtracer_tpu.kernels.megakernel import mega_available
+    from pathtracer_tpu.renderer.persistent import render_regen
+
+    b = _world("/root/reference/data/scenes/cornell_box_medium.toml")
+    cam = build_camera(b.camera_by_id("main"), aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=6, min_bounces=1, light_samples=2,
+                          russian_roulette=True, medium_aware=True)
+    assert mega_available(b.world, cam, settings), "medium outside mega gate"
+    film, prof, el = render_regen(b.world, cam, settings, 128, 128, 8,
+                                  key=jax.random.PRNGKey(23))
+    film = np.asarray(film)
+    assert np.isfinite(film).all(), "medium film non-finite"
+    assert film.mean() > 0, "medium film black"
+    results["medium_smoke_mrays"] = round(prof.total_rays / el / 1e6, 2)
+
+
 def check_bdpt_lt(results):
 
     import numpy as np
@@ -224,6 +252,7 @@ def main():
                      ("arrangement", check_arrangement),
                      ("dispersive_hwss", check_dispersive_hwss_furnace),
                      ("hdri", check_hdri),
+                     ("medium", check_medium),
                      ("bdpt_lt", check_bdpt_lt)]:
         t0 = time.perf_counter()
         try:
