@@ -54,7 +54,7 @@ class ProjectiveCamera(NamedTuple):
         d = vecmath.normalize(focal_pt - o)
         return o, d, jnp.ones(film_u.shape, jnp.float32)
 
-    def get_pixel_for_ray(self, o, d):
+    def get_pixel_for_ray(self, o, d, lam=None):
         """Inverse of get_ray for splatting: ray (from a lens point, into the
         scene) -> film (u, v) + validity mask
         (reference: src/camera/projective_camera.rs:135-180)."""
@@ -75,6 +75,26 @@ class ProjectiveCamera(NamedTuple):
         """Importance of a ray arriving at the lens — hemisphere gate
         (enum-level eval_we returns (1,1), src/camera/mod.rs:99-110)."""
         return (vecmath.dot(d, self.w) > 0.0).astype(jnp.float32)
+
+    # ---- LT/BDPT lens-connection protocol (shared with RealisticCamera):
+    # connection point sampled on the lens disk; W_e uses the focal-plane
+    # map r = focal·tanθ, so we_focal/we_film_area parameterize
+    # W_e = focal²/(cos³θ·A_film) in the integrators.
+    def sample_lens_point(self, u1, u2):
+        from pathtracer_tpu.core import sampling
+
+        lens_xy = sampling.random_in_unit_disk(u1, u2) * self.lens_radius
+        return (self.origin + lens_xy[..., 0:1] * self.u
+                + lens_xy[..., 1:2] * self.v)
+
+    def lens_area(self):
+        return jnp.pi * self.lens_radius * self.lens_radius
+
+    def we_focal(self):
+        return self.focal_distance
+
+    def we_film_area(self):
+        return (2.0 * self.half_width) * (2.0 * self.half_height)
 
 
 def make_projective_camera(

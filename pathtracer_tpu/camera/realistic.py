@@ -45,6 +45,32 @@ class RealisticCamera(NamedTuple):
     lam_hi: jnp.ndarray
     rear_z: jnp.ndarray  # f32 z of the rear interface vertex
     rear_aperture: jnp.ndarray  # f32
+    front_aperture: jnp.ndarray  # f32 front-element housing radius (m)
+    f_eff: jnp.ndarray  # f32 effective focal length (chief-ray probe)
+
+    # ---- LT/BDPT lens-connection protocol (shared with ProjectiveCamera).
+    # Light paths connect to a point sampled on the FRONT element aperture
+    # (the reference's lens proxy Instance, realistic_camera.rs get_surface)
+    # and the importance weight uses the assembly's measured effective focal
+    # length: the front-vertex→sensor map is r_s ≈ f_eff·tanθ (chief-ray
+    # probe at build, _estimate_f_eff), so the thin-lens importance
+    # W_e = f_eff²/(cos³θ·A_sensor) carries over with vignetting handled
+    # exactly by the reverse trace's validity mask (get_pixel_for_ray).
+    # Residual error is the assembly's distortion from the paraxial map —
+    # validated ≤15% vs PT in tests/test_render_lt.py.
+    def sample_lens_point(self, u1, u2):
+        lens_xy = sampling.random_in_unit_disk(u1, u2) * self.front_aperture
+        return (self.origin + lens_xy[..., 0:1] * self.u
+                + lens_xy[..., 1:2] * self.v)
+
+    def lens_area(self):
+        return jnp.pi * self.front_aperture * self.front_aperture
+
+    def we_focal(self):
+        return self.f_eff
+
+    def we_film_area(self):
+        return (2.0 * self.sensor_half * self.aspect) * (2.0 * self.sensor_half)
 
     def _pupil_radius(self, film_r, lam):
         k_r, k_l = self.pupil_radii.shape
@@ -164,6 +190,32 @@ def _bake_pupil_radii(stack: LensStack, sensor_half: float, film_z: float,
     return jnp.asarray(radii)
 
 
+def _estimate_f_eff(stack: LensStack, film_z: float, lam: float = 550.0):
+    """Effective focal length by chief-ray probe: reverse-trace rays that
+    hit the front vertex at small field angles θ and fit r_sensor/tanθ.
+    This is the paraxial focal length of the assembled system — the
+    quantity the thin-lens importance W_e = f²/(cos³θ·A_film) needs for
+    LT/BDPT lens connections (reference leaves eval_we at the hemisphere
+    test, src/camera/mod.rs:99-110)."""
+    zf = float(stack.total_thickness)
+    thetas = np.radians(np.array([1.0, 2.0, 3.0, 4.0, 6.0], np.float64))
+    o = np.zeros((len(thetas), 3), np.float32)
+    o[:, 2] = zf + 1e-6
+    d = np.stack([np.sin(thetas), np.zeros_like(thetas), -np.cos(thetas)],
+                 -1).astype(np.float32)
+    p, d_exit, valid = trace_to_film(
+        stack, jnp.asarray(o), jnp.asarray(d),
+        jnp.full((len(thetas),), lam, jnp.float32))
+    p, d_exit, valid = np.asarray(p), np.asarray(d_exit), np.asarray(valid)
+    t = (film_z - p[:, 2]) / np.where(np.abs(d_exit[:, 2]) > 1e-9,
+                                      d_exit[:, 2], 1.0)
+    sensor = p + t[:, None] * d_exit
+    r_s = np.abs(sensor[:, 0])
+    f = r_s / np.tan(thetas)
+    f = f[valid & (t > 0)]
+    return float(np.median(f)) if f.size else float(zf)
+
+
 def make_realistic_camera(data: dict, aspect_ratio: float = 1.0,
                           search_paths=None) -> RealisticCamera:
     """Build from CameraData::RealisticCamera fields
@@ -207,4 +259,6 @@ def make_realistic_camera(data: dict, aspect_ratio: float = 1.0,
         lam_hi=jnp.float32(LAM_BIN_HI),
         rear_z=stack.z_front[-1],
         rear_aperture=stack.aperture[-1],
+        front_aperture=stack.aperture[0],
+        f_eff=jnp.float32(_estimate_f_eff(stack, film_z)),
     )

@@ -198,10 +198,15 @@ def generate_light_subpath(world: World, settings, lam, lam_pdf, key, n, counter
 def generate_eye_subpath(world: World, camera, settings, film_uv, lam, key, counters):
     n = film_uv.shape[0]
     ul = jax.random.uniform(sampling.fold(key, 300), (n, 2))
-    o0, d0, tau = camera.get_ray(film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1])
+    # λ-aware dispatch: realistic assemblies trace chromatically
+    # (integrator/pt.py camera_ray)
+    from pathtracer_tpu.integrator.pt import camera_ray
+
+    o0, d0, tau = camera_ray(camera, film_uv[:, 0], film_uv[:, 1],
+                             ul[:, 0], ul[:, 1], lam)
     cos_cam = jnp.abs(vecmath.dot(d0, camera.w))
-    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
-    pdf_dir_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+    a_film = camera.we_film_area()
+    pdf_dir_sa = safe_div(camera.we_focal()**2, cos_cam**3 * a_film)
     vert0 = dict(
         pos=o0, ns=jnp.broadcast_to(camera.w, o0.shape),
         gn=jnp.broadcast_to(camera.w, o0.shape), wi=jnp.zeros((n, 3)),
@@ -295,7 +300,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             return True
         return settings.selected_pair == (s, t)
 
-    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+    a_film = camera.we_film_area()
 
     # ---------- environment family (disjoint from instance-light paths):
     # s=0 env escape at each eye depth, MIS-paired with env-NEE from the
@@ -464,9 +469,9 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
         dist = jnp.sqrt(dist2)
         dir_c = to_cam / dist[..., None]
-        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam)
         cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
-        we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        we = safe_div(camera.we_focal()**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
         frame_y = vecmath.TangentFrame(*_frame(yv.ns))
         fy, fy_pdf = bsdf_eval(
             world.mats, world.bank, world.tex, yv.mat_id, lam,
@@ -487,7 +492,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
             jnp.sum((yv.valid & on_film).astype(jnp.float32))
         )
         # junction pdfs: y_{s-1} from camera; y_{s-2} from y_{s-1}
-        cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+        cam_dir_pdf_sa = safe_div(camera.we_focal()**2, cos_cam**3 * a_film)
         pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
         _, pdf_y_prev_sa = bsdf_eval(
             world.mats, world.bank, world.tex, yv.mat_id, lam,
@@ -507,9 +512,9 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
         dist = jnp.sqrt(dist2)
         dir_c = to_cam / dist[..., None]
-        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam)
         cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
-        we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        we = safe_div(camera.we_focal()**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
         le = emission(world.mats, world.bank, yv.mat_id, lam, jnp.zeros((n, 2)),
                       vecmath.dot(yv.gn, dir_c))
         geo = safe_div(jnp.abs(vecmath.dot(yv.ns, dir_c)) * cos_cam, dist2)
@@ -525,7 +530,7 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
         counters = counters.at[prof.CAMERA_RAYS].add(
             jnp.sum((yv.valid & on_film).astype(jnp.float32))
         )
-        cam_dir_pdf_sa = safe_div(camera.focal_distance**2, cos_cam**3 * a_film)
+        cam_dir_pdf_sa = safe_div(camera.we_focal()**2, cos_cam**3 * a_film)
         pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
         w = _mis_weight(world, lam, y, z, 1, 1, D, pdf_rev_y_end, 0.0, 0.0, 0.0)
         ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)

@@ -12,11 +12,16 @@ becomes a scatter-add into the device light film — `film.at[pixel].add(xyz)`
 — so splats cost one segment-sum per round instead of a consumer thread.
 The camera importance W_e is evaluated in closed form for the thin-lens
 camera (focal²/(cos³θ·A_pixel_fp), lens pdf divided out), making LT films
-directly comparable to PT films at equal spp.
+directly comparable to PT films at equal spp. Realistic lens assemblies
+(r4, VERDICT r3 #8) ride the same protocol: the connection point samples
+the assembly's FRONT element aperture, the film uv comes from the full
+reverse trace (camera/realistic.py get_pixel_for_ray — beyond the
+reference's todo!()), and W_e uses the assembly's chief-ray-probed
+effective focal length (camera/realistic.py _estimate_f_eff) with
+vignetting handled exactly by the trace's validity mask.
 
-Not yet modelled (round-1 gaps, like-for-like with the reference's own
-TODOs): direct light→lens hits (reference handles via Camera-tagged lens
-proxy geometry); medium-aware light paths.
+Not yet modelled (like-for-like with the reference's own TODOs):
+medium-aware light paths.
 """
 
 from __future__ import annotations
@@ -91,12 +96,14 @@ def _sample_emission_direction(world, mat_id, normal, u1, u2, u_side):
 
 
 def _sample_lens_point(camera, u1, u2):
-    lens_xy = sampling.random_in_unit_disk(u1, u2) * camera.lens_radius
-    return camera.origin + lens_xy[..., 0:1] * camera.u + lens_xy[..., 1:2] * camera.v
+    """Connection point on the camera's lens surface: the thin-lens
+    aperture disk, or the realistic assembly's FRONT element aperture
+    (camera/{projective,realistic}.py sample_lens_point)."""
+    return camera.sample_lens_point(u1, u2)
 
 
 def _lens_area(camera):
-    return jnp.pi * camera.lens_radius * camera.lens_radius
+    return camera.lens_area()
 
 
 def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens,
@@ -114,15 +121,12 @@ def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens
     dist = jnp.sqrt(dist2)
     dir_c = to_cam / dist[..., None]
     # the ray entering the lens travels -dir_c ... from camera: d = -dir_c
-    film_u, film_v, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c)
+    film_u, film_v, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam)
     cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
     # importance: focal² / (cos³θ · A_pixel_fp); lens pdf (1/A_lens) divided
     # out by the A_lens in the measurement — cancels for pinhole too
-    a_pix_fp = (
-        (2.0 * camera.half_width)
-        * (2.0 * camera.half_height)
-    )
-    we = safe_div(camera.focal_distance**2, jnp.maximum(cos_cam, 1e-6) ** 3 * a_pix_fp)
+    a_pix_fp = camera.we_film_area()
+    we = safe_div(camera.we_focal()**2, jnp.maximum(cos_cam, 1e-6) ** 3 * a_pix_fp)
     # area-form connection: the vertex cosine lives in beta_f, the off-axis
     # lens cosines live in we (cos³θ); only the 1/d² Jacobian remains here
     geo = safe_div(1.0, dist2)
@@ -292,7 +296,7 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
 
     film, counters = light_vertex_connect(film, counters, sampling.fold(k_walk, 999))
 
-    a_film = (2.0 * camera.half_width) * (2.0 * camera.half_height)
+    a_film = camera.we_film_area()
     a_lens = _lens_area(camera)
 
     def body(state):
@@ -318,7 +322,7 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         fu_h, fv_h, on_film_h = camera.get_pixel_for_ray(hr.point, -d)
         cos_cam_h = jnp.abs(vecmath.dot(d, camera.w))
         we_area = safe_div(
-            camera.focal_distance**2,
+            camera.we_focal()**2,
             a_lens * jnp.maximum(cos_cam_h, 1e-6) ** 4 * a_film,
         )
         p_hit_area = prev_pdf_sa * safe_div(cos_cam_h, jnp.maximum(hr.t, 1e-6) ** 2)
