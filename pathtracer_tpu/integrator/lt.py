@@ -164,36 +164,40 @@ def _connect_to_camera(world, camera, point, normal_or_none, beta_f, lam, u_lens
     return film_u, film_v, energy, valid, counters
 
 
-def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int, n_paths: int, key):
-    """Trace n_paths light paths, splatting camera connections.
-    Returns (light_film [H*W, 3] xyz sum, counters). Caller divides by the
-    number of paths-per-pixel equivalent (n_paths / (W·H))."""
-    n = n_paths
-    wb = settings.wavelength_bounds
-    k_init, k_walk = jax.random.split(key)
-    u0 = jax.random.uniform(k_init, (n, 9))
-    if settings.stratified:
-        # StratifiedSampler(20,20,10) port: particle i lands in stratum
-        # i mod (20*20*10); the in-stratum offset is the threefry jitter.
-        # Lower-variance emitter-surface + λ coverage at equal path counts.
-        # The cell LABELS are randomly permuted per render: with the raw
-        # `i mod cells` assignment a path count below 20·20·10=4000 only
-        # ever visits the first n strata — λ never left the lower half of
-        # the band and the splat film was deterministically ~30% biased
-        # (measured 2026-08-18, 10-seed stderr 0.3%). A per-key uniform
-        # random subset of cells is unbiased at ANY path count.
-        suv = settings.strata_uv
-        slam = settings.strata_lam
-        cells = suv * suv * slam
-        perm = jax.random.permutation(sampling.fold(k_init, 7), cells)
-        cid = perm[jnp.arange(n, dtype=jnp.int32) % cells]
-        cu = (cid % suv).astype(jnp.float32)
-        cv = ((cid // suv) % suv).astype(jnp.float32)
-        cl = (cid // (suv * suv)).astype(jnp.float32)
-        u0 = u0.at[:, 1].set((cu + u0[:, 1]) / suv)
-        u0 = u0.at[:, 2].set((cv + u0[:, 2]) / suv)
-        u0 = u0.at[:, 3].set((cl + u0[:, 3]) / slam)
+def stratify_u0(settings: LTSettings, u0, key):
+    """StratifiedSampler(20,20,10) port: particle i lands in stratum
+    i mod (20*20*10); the in-stratum offset is the threefry jitter.
+    Lower-variance emitter-surface + λ coverage at equal path counts.
+    The cell LABELS are randomly permuted per render: with the raw
+    `i mod cells` assignment a path count below 20·20·10=4000 only
+    ever visits the first n strata — λ never left the lower half of
+    the band and the splat film was deterministically ~30% biased
+    (measured 2026-08-18, 10-seed stderr 0.3%). A per-key uniform
+    random subset of cells is unbiased at ANY path count."""
+    n = u0.shape[0]
+    suv = settings.strata_uv
+    slam = settings.strata_lam
+    cells = suv * suv * slam
+    perm = jax.random.permutation(sampling.fold(key, 7), cells)
+    cid = perm[jnp.arange(n, dtype=jnp.int32) % cells]
+    cu = (cid % suv).astype(jnp.float32)
+    cv = ((cid // suv) % suv).astype(jnp.float32)
+    cl = (cid // (suv * suv)).astype(jnp.float32)
+    u0 = u0.at[:, 1].set((cu + u0[:, 1]) / suv)
+    u0 = u0.at[:, 2].set((cv + u0[:, 2]) / suv)
+    u0 = u0.at[:, 3].set((cl + u0[:, 3]) / slam)
+    return u0
 
+
+def spawn_particles(world: World, settings: LTSettings, u0):
+    """Sample light particles from 9 uniform columns (lt.rs:106-158):
+    instance light vs environment by env_sampling_probability, emission
+    position + direction + wavelength, particle weight. Returns a dict of
+    per-particle arrays (also the light-vertex aux the s=1 connection
+    needs). Shared by the XLA walk (lt_trace) and the LT megakernel's
+    respawn feed (kernels/lt_mega.py) — single source of truth."""
+    n = u0.shape[0]
+    wb = settings.wavelength_bounds
     # ---- emission source pick: instance light vs environment by
     # env_sampling_probability (lt.rs:106-158 `choose`)
     p_env = world.env_sampling_probability
@@ -249,7 +253,33 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
         lp,
         lp + ln * (NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, d0)))[..., None],
     )
-    d = d0
+    prev_pdf0 = jnp.where(pick_env, dir_pdf_env, dir_pdf)
+    return dict(o=o, d=d0, lam=lam, beta=beta, alive=alive,
+                prev_pdf0=prev_pdf0, pick_env=pick_env,
+                # light-vertex aux for the s=1 connection
+                lp_i=lp_i, ln=ln, mat_id=mat_id, lam_i=lam_i,
+                pick_pdf=pick_pdf, area_pdf=area_pdf, lam_pdf=lam_pdf,
+                p_env=p_env)
+
+
+def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int, n_paths: int, key):
+    """Trace n_paths light paths, splatting camera connections.
+    Returns (light_film [H*W, 3] xyz sum, counters). Caller divides by the
+    number of paths-per-pixel equivalent (n_paths / (W·H))."""
+    n = n_paths
+    wb = settings.wavelength_bounds
+    k_init, k_walk = jax.random.split(key)
+    u0 = jax.random.uniform(k_init, (n, 9))
+    if settings.stratified:
+        u0 = stratify_u0(settings, u0, k_init)
+
+    sp = spawn_particles(world, settings, u0)
+    p_env = sp["p_env"]
+    pick_env = sp["pick_env"]
+    lp_i, ln, mat_id, lam_i = sp["lp_i"], sp["ln"], sp["mat_id"], sp["lam_i"]
+    pick_pdf, area_pdf, lam_pdf = sp["pick_pdf"], sp["area_pdf"], sp["lam_pdf"]
+    lam, beta, alive = sp["lam"], sp["beta"], sp["alive"]
+    o, d = sp["o"], sp["d"]
 
     film = jnp.zeros((width * height, 3), jnp.float32)
     counters = prof.zeros().at[prof.LIGHT_RAYS].add(float(n)) + jnp.sum(beta * 0.0)
@@ -410,7 +440,7 @@ def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int
 
     # initial direction pdf: the emission sample's solid-angle pdf (for the
     # first-segment direct-lens-hit MIS)
-    prev_pdf0 = jnp.where(pick_env, dir_pdf_env, dir_pdf)
+    prev_pdf0 = sp["prev_pdf0"]
     state0 = (jnp.int32(0), o, d, beta, alive, prev_pdf0, film, counters)
     state = jax.lax.while_loop(cond, body, state0)
     return state[6], state[7]

@@ -1660,10 +1660,19 @@ def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
                    blocked=blocked)
 
 
-def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
-                   blocked):
+def _finalize_core(consts, settings, u_rr, rnd, s, state_ref, out_ref,
+                   lam, beta, rad, acc, done, alive, bounce_ct, at_surface,
+                   f_pdf, sample_ok, ratios, o, d, o_new, d_new, pscale,
+                   scattered=None, mstk_new=None):
+    """Shared K4 finalize tail (RR + continuation, death→XYZ accumulate,
+    thin-lens respawn, state merge + write-out) — the single source of
+    truth for both the split pipeline (_finalize_body) and the fused
+    single-dispatch round (_all_kernel). `u_rr`/`rnd` are the caller's
+    uniform tiles (the variants index their uniform blocks differently);
+    `pscale` is the per-lane spectral-MIS pdf-ratio tiles at the sampled
+    direction; `scattered`/`mstk_new` carry the medium-aware rows (split
+    pipeline only; fused rounds exclude medium scenes)."""
     c = consts
-    ls = settings["light_samples"]
     C = settings["c_lanes"]
     spp = settings["spp"]
     max_bounces = settings["max_bounces"]
@@ -1672,44 +1681,9 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     only_direct = settings["only_direct"]
     width = settings["width"]
     height = settings["height"]
-    start = settings["start"]
     wb_lo = settings["wb_lo"]
     wb_span = settings["wb_span"]
-
-    s = lambda i: _tile(state_ref[i, :])
-    k2 = lambda i: _tile(k2_ref[i, :])
-    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
-    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
-    lam = [s(S_LAM + i) for i in range(C)]
-    beta = [s(S_BETA + i) for i in range(C)]
-    acc = [s(S_ACC + i) for i in range(3)]
-    done = s(S_DONE)
-    alive = s(S_ALIVE) > 0.5
-    bounce_ct = s(S_BOUNCE)
-
-    rad = [k2(O_RAD + i) for i in range(C)]
-    at_surface = k2(O_AT_SURF) > 0.5
-    f_pdf = k2(O_FPDF)
-    sample_ok = k2(O_SAMPLE_OK) > 0.5
-    ratios = [k2(O_RATIO + i) for i in range(C)]
-    o_new = V3(k2(O_ONEW), k2(O_ONEW + 1), k2(O_ONEW + 2))
-    d_new = V3(k2(O_DNEW), k2(O_DNEW + 1), k2(O_DNEW + 2))
-    medium = bool(c.get("medium"))
-    if medium:
-        # free-flight lane weights computed in K2 (pt_regen applies them to
-        # beta before the contribution adds AND the continuation product)
-        scattered = k2(O_SCAT) > 0.5
-        beta = [beta[ci] * k2(O_MEDW + ci) for ci in range(C)]
-    else:
-        scattered = jnp.zeros((SUB, 128), bool)
-
-    # ---- resolve NEE with shadow results
-    for si in range(ls):
-        base = O_NEE + 12 * si
-        worth = k2(base + 7) > 0.5
-        ok = worth & ~blocked[si]
-        for ci in range(C):
-            rad[ci] = rad[ci] + jnp.where(ok, k2(base + 8 + ci), 0.0)
+    medium = scattered is not None
 
     # ---- RR + continuation (pt_regen.py:186-203)
     ratio_best = ratios[0]
@@ -1718,8 +1692,9 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     if medium:
         # phase sampling is perfect importance sampling (pt_regen.py:306-308)
         ratio_best = jnp.where(scattered, 1.0, ratio_best)
-    sample_ok = scattered | (sample_ok & (ratio_best > 0.0))
-    u_rr = _tile(u_ref[0, :])
+        sample_ok = scattered | (sample_ok & (ratio_best > 0.0))
+    else:
+        sample_ok = sample_ok & (ratio_best > 0.0)
     if rr_enabled:
         rr_on = bounce_ct >= min_bounces
         p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
@@ -1734,8 +1709,9 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
         beta_next.append(bn)
         finite_ok = finite_ok & jnp.isfinite(bn)
     hit_depth_cap = (bounce_ct + 1.0) >= max_bounces
-    continue_path = ((at_surface | scattered) & sample_ok & survive
-                     & ~hit_depth_cap & finite_ok)
+    cont_src = (at_surface | scattered) if medium else at_surface
+    continue_path = (cont_src & sample_ok & survive & ~hit_depth_cap
+                     & finite_ok)
     if only_direct:
         continue_path = continue_path & ~(bounce_ct >= 1.0)
     bounce_ind = continue_path.astype(jnp.float32)
@@ -1757,10 +1733,9 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     camera_ind = has_work.astype(jnp.float32)
 
     # ---- respawn: thin-lens camera ray (camera/projective.py get_ray +
-    # camera/aperture.py sample_aperture, componentwise)
-    rnd = [_tile(u_ref[1 + i, :]) for i in range(5)]
-    # respawn at the lane's OWNING pixel (state row, not lane position:
-    # compaction permutes lanes mid-render)
+    # camera/aperture.py sample_aperture, componentwise); respawn at the
+    # lane's OWNING pixel (state row, not lane position: compaction
+    # permutes lanes mid-render)
     pix = s(S_PIX)
     px = pix - jnp.floor(pix / width) * width
     py = jnp.floor(pix / width)
@@ -1799,7 +1774,7 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     offs_lam = [((rnd[4] + ci / C) % 1.0) for ci in range(C)]
     lam_s = [wb_lo + ol * wb_span for ol in offs_lam]
 
-    # ---- merge (pt_regen.py:216-227)
+    # ---- merge (pt_regen.py:216-227) + write-out
     cp = continue_path
     hw = has_work
     o_out = cmath.where(cp, o_new, cmath.where(hw, o_s, o))
@@ -1830,14 +1805,14 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
     # spectral-MIS pdf-ratio products: multiply in this bounce's ratios on
     # continuation, reset on respawn
     for ci in range(C):
-        new_r = jnp.where(cp, s(S_PDFR + ci) * k2(O_PSCALE + ci),
+        new_r = jnp.where(cp, s(S_PDFR + ci) * pscale[ci],
                           jnp.where(hw, 1.0, s(S_PDFR + ci)))
         out_ref[S_PDFR + ci, :] = _flatrow(new_r)
     if medium:
         # transitioned packed stack on continuation; respawned camera paths
         # restart in vacuum (pt_regen.py:370-372)
         for i, row in enumerate((S_MSTK0, S_MSTK1)):
-            new_stk = jnp.where(cp, k2(O_MSTK + i),
+            new_stk = jnp.where(cp, mstk_new[i],
                                 jnp.where(hw, 0.0, s(row)))
             out_ref[row, :] = _flatrow(new_stk)
     for row in range(S_PREV_PDF + 1, NS):
@@ -1848,6 +1823,59 @@ def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
         out_ref[row, :] = state_ref[row, :]
     out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
     out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
+
+
+def _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                   blocked):
+    ls = settings["light_samples"]
+    C = settings["c_lanes"]
+
+    s = lambda i: _tile(state_ref[i, :])
+    k2 = lambda i: _tile(k2_ref[i, :])
+    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+    lam = [s(S_LAM + i) for i in range(C)]
+    beta = [s(S_BETA + i) for i in range(C)]
+    acc = [s(S_ACC + i) for i in range(3)]
+    done = s(S_DONE)
+    alive = s(S_ALIVE) > 0.5
+    bounce_ct = s(S_BOUNCE)
+
+    rad = [k2(O_RAD + i) for i in range(C)]
+    at_surface = k2(O_AT_SURF) > 0.5
+    f_pdf = k2(O_FPDF)
+    sample_ok = k2(O_SAMPLE_OK) > 0.5
+    ratios = [k2(O_RATIO + i) for i in range(C)]
+    o_new = V3(k2(O_ONEW), k2(O_ONEW + 1), k2(O_ONEW + 2))
+    d_new = V3(k2(O_DNEW), k2(O_DNEW + 1), k2(O_DNEW + 2))
+    medium = bool(consts.get("medium"))
+    if medium:
+        # free-flight lane weights computed in K2 (pt_regen applies them to
+        # beta before the contribution adds AND the continuation product)
+        scattered = k2(O_SCAT) > 0.5
+        beta = [beta[ci] * k2(O_MEDW + ci) for ci in range(C)]
+        mstk_new = [k2(O_MSTK + 0), k2(O_MSTK + 1)]
+    else:
+        scattered = None
+        mstk_new = None
+
+    # ---- resolve NEE with shadow results
+    for si in range(ls):
+        base = O_NEE + 12 * si
+        worth = k2(base + 7) > 0.5
+        ok = worth & ~blocked[si]
+        for ci in range(C):
+            rad[ci] = rad[ci] + jnp.where(ok, k2(base + 8 + ci), 0.0)
+
+    _finalize_core(
+        consts, settings, u_rr=_tile(u_ref[0, :]),
+        rnd=[_tile(u_ref[1 + i, :]) for i in range(5)],
+        s=s, state_ref=state_ref, out_ref=out_ref,
+        lam=lam, beta=beta, rad=rad, acc=acc, done=done, alive=alive,
+        bounce_ct=bounce_ct, at_surface=at_surface, f_pdf=f_pdf,
+        sample_ok=sample_ok, ratios=ratios, o=o, d=d, o_new=o_new,
+        d_new=d_new, pscale=[k2(O_PSCALE + ci) for ci in range(C)],
+        scattered=scattered, mstk_new=mstk_new)
     for row in range(O4_CAMERA_CT + 1, NK4):
         out_ref[row, :] = jnp.zeros((TILE,), jnp.float32)
 
@@ -2885,127 +2913,22 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     d_new = cmath.normalize(cmath.to_world(tgt, btg, normal, wo_local_s))
     o_new = point + gn.scale(NORMAL_OFFSET * jnp.sign(cmath.dot(gn, d_new)))
 
-    # ---- K4: RR + death + respawn (as _finalize_kernel)
-    ratio_best = ratios[0]
-    for ci in range(1, C):
-        ratio_best = jnp.maximum(ratio_best, ratios[ci])
-    sample_ok = sample_ok & (ratio_best > 0.0)
-    u_rr = _tile(u_ref[3 * ls + 3, :])
-    if rr_enabled:
-        rr_on = bounce_ct >= min_bounces
-        p_cont = jnp.where(rr_on, jnp.clip(ratio_best, 0.05, 1.0), 1.0)
-    else:
-        p_cont = jnp.ones((SUB, 128), jnp.float32)
-    survive = u_rr < p_cont
-    inv_pc = 1.0 / jnp.maximum(p_cont, 1e-6)
-    beta_next = []
-    finite_ok = jnp.ones((SUB, 128), bool)
-    for ci in range(C):
-        bn = beta[ci] * jnp.where(sample_ok, ratios[ci] * inv_pc, 0.0)
-        beta_next.append(bn)
-        finite_ok = finite_ok & jnp.isfinite(bn)
-    hit_depth_cap = (bounce_ct + 1.0) >= max_bounces
-    continue_path = (at_surface & sample_ok & survive & ~hit_depth_cap
-                     & finite_ok)
-    if only_direct:
-        continue_path = continue_path & ~(bounce_ct >= 1.0)
-    bounce_ind = continue_path.astype(jnp.float32)
-
-    died = alive & ~continue_path
-    from pathtracer_tpu.core import cie
-
-    xyz = [jnp.zeros((SUB, 128), jnp.float32) for _ in range(3)]
-    for ci in range(C):
-        e = rad[ci] * (wb_span / C)
-        xyz[0] = xyz[0] + e * cie.x_bar(lam[ci])
-        xyz[1] = xyz[1] + e * cie.y_bar(lam[ci])
-        xyz[2] = xyz[2] + e * cie.z_bar(lam[ci])
-    for i in range(3):
-        acc[i] = acc[i] + jnp.where(died, xyz[i], 0.0)
-    done = done + died.astype(jnp.float32)
-    has_work = died & (done < spp)
-    camera_ind = has_work.astype(jnp.float32)
-
-    rnd = [_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)]
-    pix = s(S_PIX)  # owning pixel rides the state (compaction-safe)
-    px = pix - jnp.floor(pix / width) * width
-    py = jnp.floor(pix / width)
-    film_u = (px + rnd[0]) / width
-    film_v = (py + rnd[1]) / height
-    r_d = jnp.sqrt(rnd[2])
-    phi_d = 2.0 * jnp.pi * rnd[3]
-    dx_l = r_d * jnp.cos(phi_d)
-    dy_l = r_d * jnp.sin(phi_d)
-    if c["cam_blades"] >= 3:
-        bl = float(max(c["cam_blades"], 3))
-        phi_a = jnp.arctan2(dy_l, dx_l)
-        seg = 2.0 * jnp.pi / bl
-        a_ = jnp.mod(phi_a, seg) - seg / 2.0
-        poly = jnp.cos(jnp.pi / bl) / jnp.cos(a_)
-        t_ = min(max(c["cam_sharp"], 0.0), 1.0)
-        r_scale = (1.0 - t_) + t_ * poly
-    else:
-        r_scale = 1.0
-    lx = dx_l * r_scale * c["cam_lens_r"]
-    ly = dy_l * r_scale * c["cam_lens_r"]
-    co = V3(*[jnp.full((SUB, 128), c["cam_origin"][i], jnp.float32) for i in range(3)])
-    cu = c["cam_u"]
-    cv = c["cam_v"]
-    cw = c["cam_w"]
-    o_s = V3(co.x + lx * cu[0] + ly * cv[0],
-             co.y + lx * cu[1] + ly * cv[1],
-             co.z + lx * cu[2] + ly * cv[2])
-    fpx = (film_u * 2.0 - 1.0) * c["cam_half_w"]
-    fpy = (1.0 - film_v * 2.0) * c["cam_half_h"]
-    focal = V3(co.x + c["cam_focal"] * cw[0] + fpx * cu[0] + fpy * cv[0],
-               co.y + c["cam_focal"] * cw[1] + fpx * cu[1] + fpy * cv[1],
-               co.z + c["cam_focal"] * cw[2] + fpx * cu[2] + fpy * cv[2])
-    d_s = cmath.normalize(focal - o_s)
-    offs_lam = [((rnd[4] + ci / C) % 1.0) for ci in range(C)]
-    lam_s = [wb_lo + ol * wb_span for ol in offs_lam]
-
-    cp = continue_path
-    hw = has_work
-    o_out = cmath.where(cp, o_new, cmath.where(hw, o_s, o))
-    d_out = cmath.where(cp, d_new, cmath.where(hw, d_s, d))
-    out_ref[S_O + 0, :] = _flatrow(o_out.x)
-    out_ref[S_O + 1, :] = _flatrow(o_out.y)
-    out_ref[S_O + 2, :] = _flatrow(o_out.z)
-    out_ref[S_D + 0, :] = _flatrow(d_out.x)
-    out_ref[S_D + 1, :] = _flatrow(d_out.y)
-    out_ref[S_D + 2, :] = _flatrow(d_out.z)
-    for ci in range(C):
-        out_ref[S_LAM + ci, :] = _flatrow(jnp.where(hw, lam_s[ci], lam[ci]))
-        out_ref[S_BETA + ci, :] = _flatrow(
-            jnp.where(cp, beta_next[ci], jnp.where(hw, 1.0, beta[ci])))
-        out_ref[S_RAD + ci, :] = _flatrow(jnp.where(died, 0.0, rad[ci]))
-    for ci in range(C, C_LANES):
-        out_ref[S_LAM + ci, :] = state_ref[S_LAM + ci, :]
-        out_ref[S_BETA + ci, :] = state_ref[S_BETA + ci, :]
-        out_ref[S_RAD + ci, :] = state_ref[S_RAD + ci, :]
-    for i in range(3):
-        out_ref[S_ACC + i, :] = _flatrow(acc[i])
-    out_ref[S_DONE, :] = _flatrow(done)
-    out_ref[S_ALIVE, :] = _flatrow((cp | hw).astype(jnp.float32))
-    out_ref[S_BOUNCE, :] = _flatrow(
-        jnp.where(cp, bounce_ct + 1.0, jnp.where(hw, 0.0, bounce_ct)))
-    out_ref[S_PREV_PDF, :] = _flatrow(
-        jnp.where(cp, f_pdf, jnp.where(hw, 0.0, s(S_PREV_PDF))))
-    # spectral-MIS pdf-ratio products (inline pscale: no K2 round-trip)
+    # ---- K4: RR + death + respawn — shared finalize tail
+    # (_finalize_core, the single source of truth with _finalize_body);
+    # the fused round indexes its own uniform block and computes pscale
+    # inline (no K2 round-trip). Fused rounds exclude medium scenes.
     inv_p0 = jnp.where(p_lanes[0] > 0.0,
                        1.0 / jnp.where(p_lanes[0] > 0.0, p_lanes[0], 1.0), 0.0)
-    for ci in range(C):
-        psc = (jnp.ones((SUB, 128), jnp.float32) if ci == 0
-               else p_lanes[ci] * inv_p0)
-        new_r = jnp.where(cp, s(S_PDFR + ci) * psc,
-                          jnp.where(hw, 1.0, s(S_PDFR + ci)))
-        out_ref[S_PDFR + ci, :] = _flatrow(new_r)
-    for row in range(S_PREV_PDF + 1, NS):
-        if S_PDFR <= row < S_PDFR + C:
-            continue
-        out_ref[row, :] = state_ref[row, :]
-    out_ref[O4_BOUNCE_CT, :] = _flatrow(bounce_ind)
-    out_ref[O4_CAMERA_CT, :] = _flatrow(camera_ind)
+    pscale = [jnp.ones((SUB, 128), jnp.float32) if ci == 0
+              else p_lanes[ci] * inv_p0 for ci in range(C)]
+    _finalize_core(
+        consts, settings, u_rr=_tile(u_ref[3 * ls + 3, :]),
+        rnd=[_tile(u_ref[3 * ls + 4 + i, :]) for i in range(5)],
+        s=s, state_ref=state_ref, out_ref=out_ref,
+        lam=lam, beta=beta, rad=rad, acc=acc, done=done, alive=alive,
+        bounce_ct=bounce_ct, at_surface=at_surface, f_pdf=f_pdf,
+        sample_ok=sample_ok, ratios=ratios, o=o, d=d, o_new=o_new,
+        d_new=d_new, pscale=pscale)
     out_ref[O4_CAMERA_CT + 1, :] = _flatrow(shadow_ct)
     out_ref[O4_CAMERA_CT + 2, :] = _flatrow(env_ct)
     for row in range(O4_CAMERA_CT + 3, NK4):
