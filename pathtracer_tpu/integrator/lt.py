@@ -262,6 +262,51 @@ def spawn_particles(world: World, settings: LTSettings, u0):
                 p_env=p_env)
 
 
+def _connect_to_camera_values(world, camera, sp, uc):
+    """Shadow-free light-vertex lens connection (the s=1 strategy of
+    light_vertex_connect, minus the visibility test): given
+    spawn_particles' output `sp` and lens uniforms `uc`, return the shadow
+    task (so, dir, tmax) plus (film_u, film_v, energy, valid). Used by the
+    LT megakernel's spawn feed (kernels/lt_mega.py) — the shadow ray sweeps
+    in-kernel and the splat is gated by the respawn indicator."""
+    from pathtracer_tpu.materials.tables import emission_direction_pdf
+
+    lp_i, ln, mat_id, lam_i = sp["lp_i"], sp["ln"], sp["mat_id"], sp["lam_i"]
+    p_env = sp["p_env"]
+    lens_pt = _sample_lens_point(camera, uc[..., 0], uc[..., 1])
+    to_cam = lens_pt - lp_i
+    dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+    dist = jnp.sqrt(dist2)
+    dir_c = to_cam / dist[..., None]
+    film_u, film_v, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam_i)
+    cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+    a_pix_fp = camera.we_film_area()
+    we = safe_div(camera.we_focal()**2,
+                  jnp.maximum(cos_cam, 1e-6) ** 3 * a_pix_fp)
+    geo = safe_div(1.0, dist2)
+    so = lp_i + ln * (
+        NORMAL_OFFSET * jnp.sign(vecmath.dot(ln, dir_c) + 1e-9))[..., None]
+    beta_f = safe_div(
+        1.0,
+        jnp.maximum(1.0 - p_env, 1e-6) * sp["pick_pdf"] * sp["area_pdf"]
+        * sp["lam_pdf"],
+    )
+    cos_lc = vecmath.dot(ln, dir_c)
+    le_c = emission(world.mats, world.bank, mat_id, lam_i,
+                    jnp.zeros(lam_i.shape + (2,)), cos_lc)
+    energy = beta_f * geo * we * le_c * jnp.abs(cos_lc)
+    a_lens = _lens_area(camera)
+    has_proxy = jnp.any(world.prims.mat_kind == 2)
+    p_conn = safe_div(1.0, a_lens)
+    p_hit = (emission_direction_pdf(world.mats, mat_id, cos_lc)
+             * safe_div(cos_cam, dist2))
+    energy = energy * jnp.where(
+        (a_lens > 0.0) & has_proxy, safe_div(p_conn, p_conn + p_hit), 1.0)
+    valid = on_film & (energy > 0.0) & jnp.isfinite(energy)
+    return dict(so=so, dir=dir_c, tmax=dist * 0.99, film_u=film_u,
+                film_v=film_v, energy=energy, valid=valid)
+
+
 def lt_trace(world: World, camera, settings: LTSettings, width: int, height: int, n_paths: int, key):
     """Trace n_paths light paths, splatting camera connections.
     Returns (light_film [H*W, 3] xyz sum, counters). Caller divides by the

@@ -37,13 +37,41 @@ def render_splatted(
     key=None,
     paths_per_chunk: int | None = None,
     progress=None,
+    use_megakernel: bool | None = None,
 ):
     """Render `min_samples` light-paths-per-pixel. Returns
-    (light_film [H,W,3] normalised to radiance, Profile, elapsed)."""
+    (light_film [H,W,3] normalised to radiance, Profile, elapsed).
+
+    PT_LT_MEGA=1 (or use_megakernel=True) routes the bounce rounds through
+    the LT megakernel (kernels/lt_mega.py) when its gate passes. OPT-IN for
+    now: on-chip the films match the XLA wavefront to 0.1% but the v1 is
+    SLOWER (4.1 vs 10.3 Mrays/s at 512² — the per-round XLA spawn feed's
+    CDF-inversion gathers dominate, ~180 of 226 ms/round at 1M lanes);
+    the v2 lever is in-kernel spawning off the light tables."""
+    import os
+
     if key is None:
         key = jax.random.PRNGKey(0)
     n_pix = width * height
     total_paths = n_pix * min_samples
+    if use_megakernel is None:
+        use_megakernel = bool(os.environ.get("PT_LT_MEGA"))
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        use_megakernel = False
+    if use_megakernel:
+        from pathtracer_tpu.kernels.lt_mega import (
+            lt_mega_available,
+            lt_trace_mega,
+        )
+
+        if lt_mega_available(world, camera, settings):
+            t0 = time.perf_counter()
+            film, counters = lt_trace_mega(world, camera, settings, width,
+                                           height, total_paths, key)
+            film = film * (float(n_pix) / float(total_paths))
+            profile = Profile().add_device_counts(counters)
+            elapsed = time.perf_counter() - t0
+            return film.reshape(height, width, 3), profile, elapsed
     chunk = paths_per_chunk or n_pix
     n_chunks = -(-total_paths // chunk)
     film = jnp.zeros((n_pix, 3), jnp.float32)
