@@ -282,9 +282,21 @@ def sample_power_and_pdf(bank: CurveBank, idx, u, bounds: Bounds1D):
     cdf_hi = cdf_at(bank, idx, jnp.full_like(u, bounds.upper))
     span = jnp.maximum(cdf_hi - cdf_lo, 1e-9)
     target = cdf_lo + u * span
-    rows = bank.cdf[idx]  # [..., RES] (light-sample rate only, not per bounce)
-    # index of first knot with cdf >= target
-    i1 = jnp.sum((rows < target[..., None]).astype(jnp.int32), axis=-1)
+    # count of knots with cdf < target, by branchless binary search: 9
+    # dependent 1-element gathers per lane instead of gathering the whole
+    # [RES]=512 row per lane (the row gather moved ~2 GB at 1M lanes and
+    # dominated the LT megakernel's spawn feed — PARITY.md round 4).
+    # Identical i1 to the row-scan by CDF monotonicity, so bit-identical λ.
+    assert res & (res - 1) == 0, "binary count needs power-of-two RES"
+    cdf_flat = bank.cdf.reshape(-1)
+    base = idx * res
+    i1 = jnp.zeros_like(base)
+    s = res >> 1
+    while s:
+        probe = i1 + s
+        c = cdf_flat[base + probe - 1]
+        i1 = jnp.where(c < target, probe, i1)
+        s >>= 1
     i1 = jnp.clip(i1, 1, res - 1)
     cp = bank.cdf_pairs[idx * res + (i1 - 1)]
     c0, c1 = cp[..., 0], cp[..., 1]

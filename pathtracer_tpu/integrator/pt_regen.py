@@ -39,10 +39,22 @@ from pathtracer_tpu.world.world import World
 
 def pt_trace_regen(world: World, camera, settings: PTSettings,
                    width: int, height: int, spp: int, key, start: int = 0,
-                   batch_n: int | None = None):
+                   batch_n: int | None = None, init_state=None,
+                   max_rounds: int | None = None, return_state: bool = False):
     """Render `spp` samples for pixels [start, start+batch_n) with one lane
     per pixel and immediate sample regeneration.
-    Returns (xyz sums [batch_n, 3] — divide by spp, counters[5])."""
+    Returns (xyz sums [batch_n, 3] — divide by spp, counters[5]).
+
+    Bounded stepping (round-4 two-level watchdog fix): with `max_rounds`
+    set, the while_loop additionally stops after that many bounce rounds
+    and `return_state=True` hands back the full carry, which a later call
+    resumes via `init_state` (the uniform-stream cursor rides the carry, so
+    a stepped render draws the SAME sample stream as one dispatch). The
+    axon tunnel's worker kills any single dispatched program running past
+    its execution watchdog (measured: a two-level mb=8 render crashed after
+    >900 s while the identical-shape mb=4 program passed —
+    tools/two_level_bisect.py, PARITY.md round 4), so long gather-heavy
+    renders must be chunked into bounded dispatches."""
     n = batch_n or (width * height)
     medium_aware = settings.medium_aware
     C = HWSS_LANES if settings.hwss else 1
@@ -395,5 +407,19 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         counters0,
         jnp.ones((n, C)) + zero1[:, None] * 0.0,
     )
-    state = jax.lax.while_loop(cond, body, state0)
+    if init_state is not None:
+        state0 = init_state
+    if max_rounds is None:
+        state = jax.lax.while_loop(cond, body, state0)
+    else:
+        def cond_k(ks):
+            return jnp.any(ks[1][8]) & (ks[0] < max_rounds)
+
+        def body_k(ks):
+            return (ks[0] + 1, body(ks[1]))
+
+        _, state = jax.lax.while_loop(cond_k, body_k,
+                                      (jnp.int32(0), state0))
+    if return_state:
+        return state
     return state[6], state[12]

@@ -56,6 +56,59 @@ def _regen_pass(world, camera, key, settings: PTSettings, width: int,
     return acc / float(spp), counters
 
 
+@partial(jax.jit, static_argnames=("settings", "width", "height", "spp",
+                                   "start", "batch_n"))
+def _regen_init(world, camera, key, settings: PTSettings, width: int,
+                height: int, spp: int, start: int, batch_n: int | None):
+    from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
+
+    # max_rounds=0: the bounded while_loop exits immediately -> state0
+    return pt_trace_regen(world, camera, settings, width, height, spp, key,
+                          start=start, batch_n=batch_n, max_rounds=0,
+                          return_state=True)
+
+
+@partial(jax.jit, static_argnames=("settings", "width", "height", "spp",
+                                   "start", "batch_n", "max_rounds"))
+def _regen_advance(world, camera, key, settings: PTSettings, width: int,
+                   height: int, spp: int, start: int, batch_n: int | None,
+                   max_rounds: int, state):
+    from pathtracer_tpu.integrator.pt_regen import pt_trace_regen
+
+    st = pt_trace_regen(world, camera, settings, width, height, spp, key,
+                        start=start, batch_n=batch_n, init_state=state,
+                        max_rounds=max_rounds, return_state=True)
+    return st, jnp.any(st[8])
+
+
+def _regen_pass_stepped(world, camera, key, settings: PTSettings, width: int,
+                        height: int, spp: int, start: int, batch_n: int,
+                        rounds_per_dispatch: int, max_total_rounds: int = 1 << 20):
+    """Chunked regen render: advance at most `rounds_per_dispatch` bounce
+    rounds per dispatched program, carrying the full integrator state on
+    device between dispatches. Exists because the axon tunnel's worker
+    kills any SINGLE program that runs past its execution watchdog
+    (two-level gather-heavy renders at mb=8 crashed after >900 s while the
+    identical-shape mb=4 program passed — tools/two_level_bisect.py); the
+    sample stream is identical to the one-dispatch render by construction
+    (the uniform cursor rides the carry)."""
+    import numpy as np
+
+    st = _regen_init(world, camera, key, settings, width, height, spp,
+                     start, batch_n)
+    it = 0
+    while it < max_total_rounds:
+        st, alive = _regen_advance(world, camera, key, settings, width,
+                                   height, spp, start, batch_n,
+                                   rounds_per_dispatch, st)
+        it += rounds_per_dispatch
+        # forced host fetch: the reliable sync + dispatch pacing on the
+        # tunnel (block_until_ready returns before remote execution ends)
+        if not bool(np.asarray(alive)):
+            break
+    return st[6] / float(spp), st[12]
+
+
 def render_regen(world, camera, settings: PTSettings, width: int, height: int,
                  min_samples: int, key=None, pixel_batch: int | None = None,
                  use_megakernel: bool | None = None):
@@ -126,10 +179,16 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
     # mesh scenes crash the tunnel's TPU worker (round-2 gem finding);
     # 583k-lane batches run reliably. Mega-path renders above never hit
     # this (their lane count rides the kernel grid, not one XLA program).
-    if pixel_batch is None and n_pix > 583_200 and \
+    # Two-level scenes batch 4x smaller: lockstep traversal cost per round
+    # is set by the WORST lane (deep TIR chains walk ~29k BVH steps) and
+    # each step's gather cost scales with lanes, so smaller batches keep
+    # each stepped dispatch well under the worker's execution watchdog.
+    lane_cap = 131_072 if getattr(world, "accel2", None) is not None \
+        else 583_200
+    if pixel_batch is None and n_pix > lane_cap and \
             jax.devices()[0].platform in ("tpu", "axon"):
-        for cand in (2, 3, 4, 5, 6, 8):
-            if n_pix % cand == 0 and n_pix // cand <= 583_200:
+        for cand in (2, 3, 4, 5, 6, 8, 12, 16, 24, 32):
+            if n_pix % cand == 0 and n_pix // cand <= lane_cap:
                 batch_n = n_pix // cand
                 break
     assert n_pix % batch_n == 0
@@ -139,10 +198,28 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
     import jax.numpy as _jnp
     from pathtracer_tpu.core import sampling as _sampling
 
+    # bounded-dispatch stepping: two-level (TLAS/BLAS) renders are
+    # gather-heavy enough that a full render in ONE dispatch outlives the
+    # tunnel's execution watchdog and kills the worker; chunk them into
+    # PT_STEP_ROUNDS-round programs (sample stream unchanged). Opt-in for
+    # other scenes via the same env var.
+    step_rounds = int(os.environ.get("PT_STEP_ROUNDS", "0"))
+    if step_rounds == 0 and getattr(world, "accel2", None) is not None and \
+            jax.devices()[0].platform in ("tpu", "axon"):
+        # ~20-45 s/round at 131k lanes on worst-lane-bound scenes; 2 rounds
+        # keeps each dispatch an order of magnitude under the watchdog
+        # (16-round dispatches at 262k lanes still crashed the worker)
+        step_rounds = 2
     for b in range(n_pix // batch_n):
-        f, c = _regen_pass(world, camera, _sampling.fold(key, 77 + b), settings,
-                           width, height, min_samples, start=b * batch_n,
-                           batch_n=batch_n)
+        if step_rounds > 0:
+            f, c = _regen_pass_stepped(world, camera,
+                                       _sampling.fold(key, 77 + b), settings,
+                                       width, height, min_samples,
+                                       b * batch_n, batch_n, step_rounds)
+        else:
+            f, c = _regen_pass(world, camera, _sampling.fold(key, 77 + b),
+                               settings, width, height, min_samples,
+                               start=b * batch_n, batch_n=batch_n)
         films.append(f)
         counters_total = c if counters_total is None else counters_total + c
     film = _jnp.concatenate(films, axis=0)
