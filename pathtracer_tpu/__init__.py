@@ -14,6 +14,8 @@ Architecture (TPU-first, NOT a port):
   * splatting channel -> scatter-add
 """
 
+import os as _os
+
 import jax as _jax
 
 # Geometry is precision-critical: TPU matmuls default to bf16 inputs, which
@@ -21,5 +23,22 @@ import jax as _jax
 # wrong hits on the instanced-gem scene). A renderer has no use for lossy
 # matmuls — force f32 accumulation everywhere in this package's graphs.
 _jax.config.update("jax_default_matmul_precision", "float32")
+
+# Persistent compilation cache, kept INSIDE the repo so compiles warmed in
+# one session survive into the next (the round-4 driver bench lost 3 of 8
+# rows to cold-compile timeouts; measured 2026-08-20: a ~100 s tunnel
+# compile becomes a 0.1 s cache hit across fresh processes). Opt out with
+# PT_NO_COMPILE_CACHE=1; relocate with PT_COMPILE_CACHE_DIR.
+if not _os.environ.get("PT_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get("PT_COMPILE_CACHE_DIR") or _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "cache", "jax_cache")
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 __version__ = "0.1.0"

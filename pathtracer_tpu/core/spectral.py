@@ -287,16 +287,21 @@ def sample_power_and_pdf(bank: CurveBank, idx, u, bounds: Bounds1D):
     # [RES]=512 row per lane (the row gather moved ~2 GB at 1M lanes and
     # dominated the LT megakernel's spawn feed — PARITY.md round 4).
     # Identical i1 to the row-scan by CDF monotonicity, so bit-identical λ.
-    assert res & (res - 1) == 0, "binary count needs power-of-two RES"
     cdf_flat = bank.cdf.reshape(-1)
     base = idx * res
-    i1 = jnp.zeros_like(base)
-    s = res >> 1
-    while s:
-        probe = i1 + s
-        c = cdf_flat[base + probe - 1]
-        i1 = jnp.where(c < target, probe, i1)
-        s >>= 1
+    if res & (res - 1) == 0:
+        i1 = jnp.zeros_like(base)
+        s = res >> 1
+        while s:
+            probe = i1 + s
+            c = cdf_flat[base + probe - 1]
+            i1 = jnp.where(c < target, probe, i1)
+            s >>= 1
+    else:
+        # to_bank(res=...) is public and need not be a power of two: fall
+        # back to the row-scan count (same i1 by CDF monotonicity)
+        row = bank.cdf[idx]
+        i1 = jnp.sum((row < target[..., None]).astype(jnp.int32), axis=-1)
     i1 = jnp.clip(i1, 1, res - 1)
     cp = bank.cdf_pairs[idx * res + (i1 - 1)]
     c0, c1 = cp[..., 0], cp[..., 1]

@@ -413,7 +413,9 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         state = jax.lax.while_loop(cond, body, state0)
     else:
         def cond_k(ks):
-            return jnp.any(ks[1][8]) & (ks[0] < max_rounds)
+            # single source of truth with the one-dispatch render: any new
+            # term in cond() must bound the stepped render identically
+            return cond(ks[1]) & (ks[0] < max_rounds)
 
         def body_k(ks):
             return (ks[0] + 1, body(ks[1]))

@@ -97,6 +97,7 @@ def _regen_pass_stepped(world, camera, key, settings: PTSettings, width: int,
     st = _regen_init(world, camera, key, settings, width, height, spp,
                      start, batch_n)
     it = 0
+    alive_last = False
     while it < max_total_rounds:
         st, alive = _regen_advance(world, camera, key, settings, width,
                                    height, spp, start, batch_n,
@@ -104,8 +105,21 @@ def _regen_pass_stepped(world, camera, key, settings: PTSettings, width: int,
         it += rounds_per_dispatch
         # forced host fetch: the reliable sync + dispatch pacing on the
         # tunnel (block_until_ready returns before remote execution ends)
-        if not bool(np.asarray(alive)):
+        alive_last = bool(np.asarray(alive))
+        if not alive_last:
             break
+    if alive_last:
+        # the backstop tripped with live lanes: the accumulator is
+        # under-sampled but still divided by full spp below — loudly wrong
+        # beats silently dark (practically unreachable at the 1<<20 default)
+        import logging
+
+        from pathtracer_tpu.utils.logging import warn_once
+
+        warn_once(logging.getLogger("pathtracer_tpu.renderer"),
+                  "regen_stepped_backstop",
+                  "stepped regen hit max_total_rounds=%d with lanes still "
+                  "alive; film is under-sampled", max_total_rounds)
     return st[6] / float(spp), st[12]
 
 
@@ -191,6 +205,20 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
             if n_pix % cand == 0 and n_pix // cand <= lane_cap:
                 batch_n = n_pix // cand
                 break
+        else:
+            # awkward film factorization: a full-size batch would run each
+            # dispatch far past the calibrated per-round cost (watchdog
+            # risk on two-level scenes) — say so instead of silently risking
+            # the worker
+            import logging
+
+            from pathtracer_tpu.utils.logging import warn_once
+
+            warn_once(logging.getLogger("pathtracer_tpu.renderer"),
+                      "regen_batch_divisor",
+                      "no divisor in (2..32) fits %d pixels under the %d-"
+                      "lane cap; running full-size dispatches",
+                      n_pix, lane_cap)
     assert n_pix % batch_n == 0
     t0 = time.perf_counter()
     films = []
@@ -203,8 +231,9 @@ def render_regen(world, camera, settings: PTSettings, width: int, height: int,
     # tunnel's execution watchdog and kills the worker; chunk them into
     # PT_STEP_ROUNDS-round programs (sample stream unchanged). Opt-in for
     # other scenes via the same env var.
-    step_rounds = int(os.environ.get("PT_STEP_ROUNDS", "0"))
-    if step_rounds == 0 and getattr(world, "accel2", None) is not None and \
+    _step_env = os.environ.get("PT_STEP_ROUNDS")
+    step_rounds = max(int(_step_env), 0) if _step_env is not None else 0
+    if _step_env is None and getattr(world, "accel2", None) is not None and \
             jax.devices()[0].platform in ("tpu", "axon"):
         # ~20-45 s/round at 131k lanes on worst-lane-bound scenes; 2 rounds
         # keeps each dispatch an order of magnitude under the watchdog
