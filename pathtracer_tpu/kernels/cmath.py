@@ -257,63 +257,93 @@ def _reflect_probability(fres, metallic, permeability):
     return jnp.where(metallic, 1.0, jnp.clip(p, 0.0, 1.0))
 
 
-def eval_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
-             wi: V3, wo: V3, transport_mode):
-    """materials/ggx.py:139-217, componentwise. Returns (f, pdf)."""
+def eval_ggx_lanes(alpha, metallic, permeability, wi: V3, wo: V3,
+                   transport_mode, lanes, has_metal=True):
+    """materials/ggx.py:139-217 for several spectral lanes that share
+    (wi, wo, alpha): the λ-INDEPENDENT geometry — reflection half-vector,
+    GGX D, Smith G, VNDF pdf — is computed ONCE and reused by every lane,
+    which is where a hero-wavelength eval spends ~a third of its VPU ops.
+    `lanes` is a list of (eta_i, eta_o, kappa); `has_metal` is a STATIC
+    scene property — conductor-free scenes compile out fresnel_conductor.
+    Returns [(f, pdf)] per lane, bit-identical to per-lane eval_ggx."""
     same_hemi = wi.z * wo.z > 0.0
     cos_i = wi.z
-    cos_o = wo.z
     abs_ci = jnp.maximum(jnp.abs(cos_i), 1e-7)
-    abs_co = jnp.maximum(jnp.abs(cos_o), 1e-7)
+    abs_co = jnp.maximum(jnp.abs(wo.z), 1e-7)
     outside = cos_i > 0.0
-    eta_from = jnp.where(outside, eta_o, eta_i)
-    eta_to = jnp.where(outside, eta_i, eta_o)
 
-    # reflection lobe
+    # λ-independent reflection geometry
     wh_r = normalize(wi + wo)
     wh_r = where(wh_r.z * cos_i < 0.0, -wh_r, wh_r)
     d_r = ggx_d(alpha, wh_r)
     g_r = smith_g2(alpha, wi.z, wo.z)
     cos_ih_r = dot(wi, wh_r)
-    f_diel = fresnel_dielectric(eta_from, eta_to, cos_ih_r)
-    f_cond = fresnel_conductor(
-        safe_div(eta_to, eta_from, 1.0), safe_div(kappa, eta_from), cos_ih_r)
-    fres_r = jnp.where(metallic, f_cond, f_diel)
-    refl_f = fres_r * d_r * g_r / (4.0 * abs_ci * abs_co)
-    refl_pdf = vndf_pdf(alpha, wi, wh_r) / jnp.maximum(4.0 * jnp.abs(cos_ih_r), 1e-7)
+    refl_fac = d_r * g_r / (4.0 * abs_ci * abs_co)
+    g1_i = smith_g1(alpha, jnp.abs(wi.z))
+    # vndf_pdf(alpha, wi, wh_r) with d_r/g1 reused
+    refl_pdf = (safe_div(g1_i * d_r * jnp.abs(cos_ih_r), jnp.abs(wi.z))
+                / jnp.maximum(4.0 * jnp.abs(cos_ih_r), 1e-7))
+    eta_sc_on = transport_mode == TransportMode.Radiance
 
-    # transmission lobe (Walter 2007 eq. 21)
-    ht = normalize(-(wi.scale(eta_from) + wo.scale(eta_to)))
-    ht_u = where(ht.z < 0.0, -ht, ht)
-    d_t = ggx_d(alpha, ht_u)
-    g_t = g_r
-    cos_ih_t = dot(wi, ht)
-    cos_oh_t = dot(wo, ht)
-    fres_t = fresnel_dielectric(eta_from, eta_to, cos_ih_t)
-    denom_t = eta_from * cos_ih_t + eta_to * cos_oh_t
-    trans_f = (
-        jnp.abs(cos_ih_t * cos_oh_t) * (1.0 - fres_t) * d_t * g_t
-        * safe_div(eta_to * eta_to, denom_t * denom_t) / (abs_ci * abs_co)
-    )
-    eta_scale = jnp.where(
-        transport_mode == TransportMode.Radiance,
-        safe_div(eta_from * eta_from, eta_to * eta_to, 1.0), 1.0)
-    jac_t = safe_div(eta_to * eta_to * jnp.abs(cos_oh_t), denom_t * denom_t)
-    trans_f = trans_f * eta_scale * permeability
-    trans_pdf = vndf_pdf(alpha, wi, ht_u) * jac_t
+    out = []
+    for eta_i, eta_o, kappa in lanes:
+        eta_from = jnp.where(outside, eta_o, eta_i)
+        eta_to = jnp.where(outside, eta_i, eta_o)
+        f_diel = fresnel_dielectric(eta_from, eta_to, cos_ih_r)
+        if has_metal:
+            f_cond = fresnel_conductor(
+                safe_div(eta_to, eta_from, 1.0), safe_div(kappa, eta_from),
+                cos_ih_r)
+            fres_r = jnp.where(metallic, f_cond, f_diel)
+        else:
+            fres_r = f_diel
+        refl_f = fres_r * refl_fac
 
-    refl_prob = _reflect_probability(fres_r, metallic, permeability)
-    f_out = jnp.where(same_hemi, refl_f, trans_f)
-    pdf_out = jnp.where(
-        same_hemi, refl_pdf * refl_prob,
-        trans_pdf * (1.0 - _reflect_probability(fres_t, metallic, permeability)))
-    f_out = jnp.where(jnp.isfinite(f_out) & (f_out >= 0.0), f_out, 0.0)
-    pdf_out = jnp.where(jnp.isfinite(pdf_out) & (pdf_out >= 0.0), pdf_out, 0.0)
-    return f_out, pdf_out
+        # transmission lobe (Walter 2007 eq. 21) — ht is λ-dependent
+        ht = normalize(-(wi.scale(eta_from) + wo.scale(eta_to)))
+        ht_u = where(ht.z < 0.0, -ht, ht)
+        d_t = ggx_d(alpha, ht_u)
+        cos_ih_t = dot(wi, ht)
+        cos_oh_t = dot(wo, ht)
+        fres_t = fresnel_dielectric(eta_from, eta_to, cos_ih_t)
+        denom_t = eta_from * cos_ih_t + eta_to * cos_oh_t
+        trans_f = (
+            jnp.abs(cos_ih_t * cos_oh_t) * (1.0 - fres_t) * d_t * g_r
+            * safe_div(eta_to * eta_to, denom_t * denom_t)
+            / (abs_ci * abs_co)
+        )
+        eta_scale = jnp.where(
+            eta_sc_on, safe_div(eta_from * eta_from, eta_to * eta_to, 1.0),
+            1.0)
+        jac_t = safe_div(eta_to * eta_to * jnp.abs(cos_oh_t),
+                         denom_t * denom_t)
+        trans_f = trans_f * eta_scale * permeability
+        trans_pdf = (safe_div(g1_i * d_t * jnp.abs(dot(wi, ht_u)),
+                              jnp.abs(wi.z)) * jac_t)
+
+        refl_prob = _reflect_probability(fres_r, metallic, permeability)
+        f_out = jnp.where(same_hemi, refl_f, trans_f)
+        pdf_out = jnp.where(
+            same_hemi, refl_pdf * refl_prob,
+            trans_pdf
+            * (1.0 - _reflect_probability(fres_t, metallic, permeability)))
+        f_out = jnp.where(jnp.isfinite(f_out) & (f_out >= 0.0), f_out, 0.0)
+        pdf_out = jnp.where(jnp.isfinite(pdf_out) & (pdf_out >= 0.0),
+                            pdf_out, 0.0)
+        out.append((f_out, pdf_out))
+    return out
+
+
+def eval_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
+             wi: V3, wo: V3, transport_mode, has_metal=True):
+    """materials/ggx.py:139-217, componentwise. Returns (f, pdf)."""
+    return eval_ggx_lanes(alpha, metallic, permeability, wi, wo,
+                          transport_mode, [(eta_i, eta_o, kappa)],
+                          has_metal=has_metal)[0]
 
 
 def sample_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
-               wi: V3, u1, u2, u_lobe, transport_mode):
+               wi: V3, u1, u2, u_lobe, transport_mode, has_metal=True):
     """materials/ggx.py:227-279. Returns (wo, f, pdf, weight)."""
     wh = sample_vndf(alpha, wi, u1, u2)
     cos_ih = dot(wi, wh)
@@ -321,9 +351,12 @@ def sample_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
     eta_from = jnp.where(outside, eta_o, eta_i)
     eta_to = jnp.where(outside, eta_i, eta_o)
     f_diel = fresnel_dielectric(eta_from, eta_to, cos_ih)
-    f_cond = fresnel_conductor(
-        safe_div(eta_to, eta_from, 1.0), safe_div(kappa, eta_from), cos_ih)
-    fres = jnp.where(metallic, f_cond, f_diel)
+    if has_metal:
+        f_cond = fresnel_conductor(
+            safe_div(eta_to, eta_from, 1.0), safe_div(kappa, eta_from), cos_ih)
+        fres = jnp.where(metallic, f_cond, f_diel)
+    else:
+        fres = f_diel
     refl_prob = _reflect_probability(fres, metallic, permeability)
 
     wo_r = reflect(wi, wh)
@@ -332,7 +365,7 @@ def sample_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
     choose_reflect = (u_lobe < refl_prob) | tir | metallic
     wo = where(choose_reflect, wo_r, wo_t)
     f, pdf = eval_ggx(alpha, eta_i, eta_o, kappa, metallic, permeability,
-                      wi, wo, transport_mode)
+                      wi, wo, transport_mode, has_metal=has_metal)
     g2 = smith_g2(alpha, wi.z, wo.z)
     g1 = smith_g1(alpha, jnp.abs(wi.z))
     g_ratio = safe_div(g2, g1)

@@ -83,12 +83,14 @@ def pack_prims_np(ptype, valid, pa, pb, pc):
     return tab
 
 
-def chunk_aabb_rows_np(tab, block):
+def chunk_aabb_rows_np(tab, block, rows_mult=8):
     """Host: conservative per-`block`-prim-chunk AABBs from a packed
-    [P_pad, 128] table -> [n_chunks_pad8, 128] rows (cols 0-2 = lo,
-    3-5 = hi, rest 0). Appended to the dense table they give the sweeps a
-    flat one-level BVH: a [1, GW] vector slab test + lax.cond skips whole
-    32-prim blocks no ray in the row group can hit (PT_SWEEP_AABB).
+    [P_pad, 128] table -> [n_chunks_pad, 128] rows (cols 0-2 = lo,
+    3-5 = hi, rest 0; pad to a multiple of `rows_mult`). Appended to the
+    dense table they give the sweeps a flat one-level BVH: a [1, GW]
+    vector slab test + lax.cond skips whole prim blocks no ray in the row
+    group can hit (PT_SWEEP_AABB), and the per-lane traversal
+    (sweep_rowgroup_bvh1) orders chunks front-to-back from the same rows.
     Empty/padding chunks get inverted boxes that never pass the gate."""
     import numpy as np
 
@@ -116,7 +118,7 @@ def chunk_aabb_rows_np(tab, block):
     lo[dsk] = (pa - rd)[dsk]
     hi[dsk] = (pa + rd)[dsk]
     n_chunks = p // block
-    rows = -(-n_chunks // 8) * 8
+    rows = -(-n_chunks // rows_mult) * rows_mult
     out = np.zeros((rows, 128), np.float32)
     out[:, 0:3] = np.inf
     out[:, 3:6] = -np.inf
@@ -414,6 +416,142 @@ def sweep_rowgroup(tab_ref, block, ox, oy, oz, dx, dy, dz, t_min, t_max,
 
             carry = jax.lax.fori_loop(0, n, body, carry)
     return carry
+
+
+def fetch_tab_np(tab, block):
+    """Host: attr-major chunk fetch table for the per-lane traversal.
+
+    [11*block, n_chunks_pad128] f32 where row a*block+j, col c = attr `a`
+    (dense-table cols 0..10) of prim c*block+j. A one-hot over the chunk
+    axis contracted against this table on the MXU hands every lane its OWN
+    chunk's prim records in the [block, GW] layout the sweep math already
+    uses. Padding chunks carry valid=0 records (t=inf in every test)."""
+    import numpy as np
+
+    p_pad = tab.shape[0]
+    nch = p_pad // block
+    ncp = -(-nch // 128) * 128
+    ftab = np.zeros((11 * block, ncp), np.float32)
+    ftab[:, :nch] = (tab[:nch * block, :11]
+                     .reshape(nch, block, 11).transpose(2, 1, 0)
+                     .reshape(11 * block, nch))
+    return ftab
+
+
+def sweep_rowgroup_bvh1(tab_ref, ftab_ref, block, aabb_base,
+                        ox, oy, oz, dx, dy, dz, t_min, t_max, closest,
+                        present):
+    """Per-lane front-to-back chunk traversal — the TPU answer to the
+    reference's stackless BVH walk (lbvh.rs:172-213) for the megakernel's
+    dense path.
+
+    The brute sweep (sweep_rowgroup) is O(n_chunks) for EVERY lane; this
+    walks each lane through only the chunks whose AABB its ray enters,
+    nearest-first, stopping as soon as no remaining chunk can beat the
+    lane's carry. Lockstep cost per row group is max-over-lanes of chunks
+    visited — with Morton-ordered (spatially tight) chunks that is a small
+    constant instead of n_chunks. Per-lane chunk records ride a one-hot
+    [n_chunks_pad, GW] MXU contraction against the attr-major fetch table
+    (fetch_tab_np) — no per-lane gathers (PARITY rule 7).
+
+    Closest-hit tie-break differs from the brute sweep ONLY when two prims
+    in DIFFERENT chunks hit at bit-equal t (shared mesh edges): the brute
+    sweep keeps the lower chunk index, the traversal keeps the nearer-
+    entered chunk. Same t, either surface — estimator-equivalent.
+
+    Returns (best_t [GW], best_id [GW], ids +inf on miss) or blocked [GW]."""
+    gw = ox.shape[1]
+    ncp = ftab_ref.shape[1]
+    inf = jnp.inf
+
+    # chunk AABB columns from the appended rows: [ncp, 1] lo/hi per axis
+    A = tab_ref[pl.ds(aabb_base, ncp), :]
+
+    def axis_t(ci, o, d):
+        lo = A[:, ci:ci + 1]
+        hi = A[:, ci + 3:ci + 4]
+        nz = d != 0.0
+        inv = jnp.where(nz, 1.0 / jnp.where(nz, d, 1.0), 0.0)
+        ta = (lo - o) * inv
+        tb = (hi - o) * inv
+        inside = (o >= lo) & (o <= hi)
+        tn = jnp.where(nz, jnp.minimum(ta, tb),
+                       jnp.where(inside, -inf, inf))
+        tf = jnp.where(nz, jnp.maximum(ta, tb),
+                       jnp.where(inside, inf, -inf))
+        return tn, tf
+
+    n0, f0 = axis_t(0, ox, dx)
+    n1, f1 = axis_t(1, oy, dy)
+    n2, f2 = axis_t(2, oz, dz)
+    tn = jnp.maximum(jnp.maximum(n0, n1), jnp.maximum(n2, t_min))
+    tf = jnp.minimum(jnp.minimum(f0, f1), jnp.minimum(f2, t_max))
+    tent = jnp.where(tn <= tf, tn, inf)  # [ncp, gw] chunk entry times
+
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (ncp, gw), 0).astype(
+        jnp.float32)
+    ids_j = jax.lax.broadcasted_iota(jnp.int32, (block, gw), 0).astype(
+        jnp.float32)
+
+    def visit(tent, go):
+        """One lockstep traversal step: each `go` lane fetches + tests its
+        nearest unvisited chunk. Returns (t [block, gw], pid [block, gw],
+        consumed tent)."""
+        m = jnp.min(tent, axis=0)[None, :]  # [1, gw]
+        # inf lanes: tent==m everywhere -> cidx 0, masked by go
+        cidx = jnp.min(jnp.where(tent == m, iota_c, inf), axis=0)[None, :]
+        onehot = ((iota_c == cidx) & go).astype(jnp.float32)
+        fetched = jax.lax.dot_general(
+            ftab_ref[:, :], onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)  # [11*block, gw]
+        f_a = lambda a: fetched[a * block:(a + 1) * block, :]
+        ch = dict(ptype=f_a(0), valid=f_a(1),
+                  pax=f_a(2), pay=f_a(3), paz=f_a(4),
+                  pbx=f_a(5), pby=f_a(6), pbz=f_a(7),
+                  pcx=f_a(8), pcy=f_a(9), pcz=f_a(10))
+        t = _chunk_t(ch, ox, oy, oz, dx, dy, dz, t_min, t_max,
+                     present=present)  # [block, gw]
+        pid = ids_j + cidx * float(block)
+        return t, pid, jnp.where(onehot > 0.5, inf, tent)
+
+    if closest:
+        def cond(c):
+            i, tent, best_t, _ = c
+            return (i < ncp) & jnp.any(jnp.min(tent, axis=0) < best_t)
+
+        def body(c):
+            i, tent, best_t, best_id = c
+            go = (jnp.min(tent, axis=0) < best_t)[None, :]
+            t, pid, tent = visit(tent, go)
+            ct = jnp.min(t, axis=0)
+            cid = jnp.min(jnp.where(t == ct[None, :], pid, inf), axis=0)
+            better = ct < best_t
+            return (i + 1, tent,
+                    jnp.where(better, ct, best_t),
+                    jnp.where(better, cid, best_id))
+
+        _, _, best_t, best_id = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), tent,
+                         jnp.full((gw,), inf, jnp.float32),
+                         jnp.full((gw,), inf, jnp.float32)))
+        return best_t, best_id
+
+    def cond(c):
+        i, tent, blocked = c
+        return (i < ncp) & jnp.any((blocked < 0.5)
+                                   & (jnp.min(tent, axis=0) < inf))
+
+    def body(c):
+        i, tent, blocked = c
+        go = ((blocked < 0.5) & (jnp.min(tent, axis=0) < inf))[None, :]
+        t, _, tent = visit(tent, go)
+        hit_any = jnp.max(jnp.isfinite(t).astype(jnp.float32), axis=0)
+        return (i + 1, tent, jnp.maximum(blocked, hit_any))
+
+    _, _, blocked = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), tent, jnp.zeros((gw,), jnp.float32)))
+    return blocked
 
 
 def _closest_kernel(chunk_types, rays_ref, tab_ref, out_ref):

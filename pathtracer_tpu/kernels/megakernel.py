@@ -206,6 +206,10 @@ class MegaScene(NamedTuple):
     med_args: object = None  # None (surface-only transport) or (Mediums,
                             # CurveBank, radius) pytree for the XLA medium
                             # feed (_med_feed; utils.rs:708-1103)
+    fetch_tab: object = None  # None (small scenes: brute chunk sweep) or
+                            # f32[11*32, n_chunks_pad128] attr-major chunk
+                            # fetch table for the per-lane front-to-back
+                            # traversal (dense.sweep_rowgroup_bvh1)
 
 
 # prim_tab extra rows (0..10 are dense.py's)
@@ -295,12 +299,31 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
     h = {name: np.asarray(getattr(prims, name))
          for name in ("ptype", "valid", "pa", "pb", "pc", "na", "nb", "nc",
                       "material_id", "mat_kind", "area")}
-    # sort prims by type: the sweep kernels compile per-chunk intersection
-    # routines only for types PRESENT in a chunk (dense._chunk_t), so
-    # homogeneous chunks cut the VPU flops of the compute-bound sweeps.
-    # Prim ids are self-consistent within the megakernel (sweep ids index
-    # the identically-permuted prim_tab); lights store values, not ids.
-    order = np.argsort(h["ptype"][:p], kind="stable")
+    # sort prims by (type, morton): the sweep kernels compile per-chunk
+    # intersection routines only for types PRESENT in a chunk
+    # (dense._chunk_t), so the primary type key keeps chunks homogeneous;
+    # the Morton secondary key packs each chunk spatially TIGHT, which is
+    # what makes per-chunk AABBs selective (the round-3 zero-win chunk-AABB
+    # measurement was on scanline/OBJ-order chunks whose boxes spanned the
+    # scene). Prim ids are self-consistent within the megakernel (sweep ids
+    # index the identically-permuted prim_tab); lights store values, not ids.
+    cen = np.where((h["ptype"][:p] == 0)[:, None],
+                   (h["pa"][:p] + h["pb"][:p] + h["pc"][:p]) / 3.0,
+                   h["pa"][:p])  # PRIM_TRIANGLE=0: centroid; else pa=center
+    lo_c = cen.min(axis=0)
+    span_c = np.maximum(cen.max(axis=0) - lo_c, 1e-12)
+    q = np.clip(((cen - lo_c) / span_c * 1023.0), 0, 1023).astype(np.uint64)
+
+    def _spread(v):
+        v = (v | (v << 16)) & np.uint64(0x030000FF)
+        v = (v | (v << 8)) & np.uint64(0x0300F00F)
+        v = (v | (v << 4)) & np.uint64(0x030C30C3)
+        v = (v | (v << 2)) & np.uint64(0x09249249)
+        return v
+
+    morton = (_spread(q[:, 0]) | (_spread(q[:, 1]) << np.uint64(1))
+              | (_spread(q[:, 2]) << np.uint64(2)))
+    order = np.lexsort((morton, h["ptype"][:p]))
     inv_order = np.empty(p, np.int64)
     inv_order[order] = np.arange(p)
     h = {k: v[order] for k, v in h.items()}
@@ -439,6 +462,9 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         # static per-scene specialization: archetypes absent from the
         # material table compile out of the kernel entirely
         has_ggx=bool((mtype == MAT_GGX).any()),
+        # conductor-free scenes compile fresnel_conductor out of every
+        # GGX eval (kappa gates `metallic` at construction, ggx.rs:205)
+        has_metal=bool(hm["metallic"].any()),
         has_sharp=bool((mtype == MAT_SHARP_LIGHT).any()),
         env_rot=tuple(float(x) for x in rot_fwd.reshape(-1)),
         lam_lo=float(w.bank.lam_lo),
@@ -478,11 +504,43 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
         tex_args = (w.tex, w.bank, jnp.asarray(mat2tex), jnp.asarray(uvtab),
                     lut)
     dense_tab = pack_prims_np(h["ptype"], h["valid"], h["pa"], h["pb"], h["pc"])
-    # chunk-AABB gate (PT_SWEEP_AABB=1): append per-32-prim-chunk AABB rows
-    # so the in-kernel sweeps can lax.cond-skip whole prim blocks no ray in
-    # a row group can hit — a flat one-level BVH evaluated with vector slab
-    # tests (no gathers). Sweep results are bit-identical either way.
-    if _os_.environ.get("PT_SWEEP_AABB"):
+    # per-lane front-to-back chunk traversal (dense.sweep_rowgroup_bvh1):
+    # multi-chunk scenes append chunk-AABB rows + an attr-major fetch table
+    # so each lane sweeps only the (Morton-tight) chunks its ray enters,
+    # nearest-first — the in-megakernel answer to the reference's stackless
+    # BVH walk (lbvh.rs:172-213). OPT-IN (PT_SWEEP_BVH1=<min chunks>):
+    # bit-exact vs the brute sweep in interpret mode and on CPU, but the
+    # in-kernel lax.while_loop is pathological on the axon tunnel — the gem
+    # render measured 0.54 vs 8.42 Mrays/s baseline and the Mosaic compile
+    # ran past 20 min (2026-08-20 A/B), echoing the round-3 "loop-wrapped
+    # pipelines never finish compiling" rule at the in-kernel level.
+    fetch_tab = None
+    _bvh1_env = _os_.environ.get("PT_SWEEP_BVH1")
+    if not _bvh1_env or _bvh1_env in ("0", "off"):
+        bvh1_min = 1 << 30
+    else:
+        bvh1_min = max(int(_bvh1_env), 1)
+    n_ch32 = dense_tab.shape[0] // 32
+    if n_ch32 >= bvh1_min:
+        from pathtracer_tpu.kernels.dense import (
+            chunk_aabb_rows_np,
+            fetch_tab_np,
+        )
+
+        consts["bvh1"] = True
+        consts["bvh1_base"] = dense_tab.shape[0]
+        consts["bvh1_present"] = tuple(
+            bool(any(pr[i] for pr in ct32)) for i in range(4))
+        fetch_tab = jnp.asarray(fetch_tab_np(dense_tab, 32))
+        dense_tab = np.concatenate(
+            [dense_tab, chunk_aabb_rows_np(dense_tab, 32, rows_mult=128)],
+            axis=0)
+    # chunk-AABB gate (PT_SWEEP_AABB=1, brute-sweep scenes only): append
+    # per-32-prim-chunk AABB rows so the in-kernel sweeps can lax.cond-skip
+    # whole prim blocks no ray in a row group can hit — a flat one-level
+    # BVH evaluated with vector slab tests (no gathers). Sweep results are
+    # bit-identical either way.
+    elif _os_.environ.get("PT_SWEEP_AABB"):
         from pathtracer_tpu.kernels.dense import chunk_aabb_rows_np
 
         consts["aabb_base"] = dense_tab.shape[0]
@@ -502,6 +560,7 @@ def build_mega_scene(world, camera, settings) -> MegaScene:
             w.env, w.bank, w.tex, _bake_env_lut(w.env, w.bank, w.tex)),
         tex_args=tex_args,
         med_args=(w.mediums, w.bank) if consts["medium"] else None,
+        fetch_tab=fetch_tab,
     )
 
 
@@ -1014,25 +1073,43 @@ def _spectral_fetch(spec, lam, lam_lo, lam_hi, prec):
     return R
 
 
-def _bsdf_eval_lane(mtype, alpha, metallic, perm, eta_i, eta_o, kappa, refl,
-                    wi, wo, mode, has_ggx=True):
-    """materials/tables.bsdf_eval for one λ lane, componentwise. has_ggx is
-    a STATIC scene property — GGX-free scenes compile the whole microfacet
-    stack out of the kernel."""
-    f_lam, pdf_lam = cmath.eval_lambertian(refl, wi, wo)
+def _bsdf_eval_lanes(mtype, alpha, metallic, perm, eta_i, eta_o, kappa,
+                     refl, wi, wo, mode, has_ggx=True, has_metal=True):
+    """materials/tables.bsdf_eval for C spectral lanes sharing (wi, wo):
+    the λ-independent GGX geometry is computed once (cmath.eval_ggx_lanes).
+    has_ggx/has_metal are STATIC scene properties — GGX-free scenes compile
+    the whole microfacet stack out, conductor-free scenes compile out
+    fresnel_conductor. eta_i/eta_o/kappa/refl are per-lane lists; returns
+    ([f], [pdf])."""
+    C = len(refl)
     if has_ggx:
         a = jnp.maximum(alpha, 1e-4)
-        ei = jnp.maximum(eta_i, 1e-3)
-        eo = jnp.maximum(eta_o, 1e-3)
-        f_ggx, pdf_ggx = cmath.eval_ggx(a, ei, eo, kappa, metallic > 0.5, perm,
-                                        wi, wo, mode)
+        lanes = [(jnp.maximum(eta_i[ci], 1e-3), jnp.maximum(eta_o[ci], 1e-3),
+                  kappa[ci]) for ci in range(C)]
+        ggx = cmath.eval_ggx_lanes(a, metallic > 0.5, perm, wi, wo, mode,
+                                   lanes, has_metal=has_metal)
         is_ggx = mtype == MAT_GGX
-        f = jnp.where(is_ggx, f_ggx, f_lam)
-        pdf = jnp.where(is_ggx, pdf_ggx, pdf_lam)
-    else:
-        f, pdf = f_lam, pdf_lam
     dead = mtype == 4  # passthrough
-    return jnp.where(dead, 0.0, f), jnp.where(dead, 0.0, pdf)
+    fs, pdfs = [], []
+    for ci in range(C):
+        f_lam, pdf_lam = cmath.eval_lambertian(refl[ci], wi, wo)
+        if has_ggx:
+            f = jnp.where(is_ggx, ggx[ci][0], f_lam)
+            pdf = jnp.where(is_ggx, ggx[ci][1], pdf_lam)
+        else:
+            f, pdf = f_lam, pdf_lam
+        fs.append(jnp.where(dead, 0.0, f))
+        pdfs.append(jnp.where(dead, 0.0, pdf))
+    return fs, pdfs
+
+
+def _bsdf_eval_lane(mtype, alpha, metallic, perm, eta_i, eta_o, kappa, refl,
+                    wi, wo, mode, has_ggx=True, has_metal=True):
+    """Single-lane wrapper over _bsdf_eval_lanes."""
+    fs, pdfs = _bsdf_eval_lanes(mtype, alpha, metallic, perm, [eta_i],
+                                [eta_o], [kappa], [refl], wi, wo, mode,
+                                has_ggx=has_ggx, has_metal=has_metal)
+    return fs[0], pdfs[0]
 
 
 def _sample_surface_light(lp_type, pa, pb, pc, u1, u2):
@@ -1108,6 +1185,22 @@ def _hit_attributes(attr, o, d, t):
 # ----------------------------------------------------------------- kernel K2
 
 
+def _tile_alive(state_ref):
+    """Scalar any-lane-alive predicate for the dead-tile skip: S_ALIVE=0
+    lanes are PERMANENTLY finished (K4 respawns within the same program, so
+    a lane with remaining spp never shows 0 between rounds) and an all-dead
+    grid tile computes a bit-exact no-op — skipping its body is free
+    throughput across the occupancy drain tail (gem: 96 rounds of which
+    ~60 run under 10% occupancy)."""
+    return jnp.any(state_ref[S_ALIVE, :] > 0.5)
+
+
+def _skip_dead():
+    import os as _os
+
+    return not _os.environ.get("PT_MEGA_NO_SKIP_DEAD")
+
+
 def _shade_kernel(consts, settings,
                   u_ref, state_ref, tp_ref, prim_ref, mat_ref, light_ref,
                   spec_ref, *rest):
@@ -1116,10 +1209,25 @@ def _shade_kernel(consts, settings,
     ef_ref = rest.pop(0) if consts.get("env_kind", 0) != 0 else None
     tf_ref = rest.pop(0) if consts.get("tex_feed") else None
     mf_ref = rest.pop(0) if consts.get("medium") else None
-    _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
-                light_ref, spec_ref, out_ref,
-                t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]),
-                ef_ref=ef_ref, tf_ref=tf_ref, mf_ref=mf_ref)
+
+    def run():
+        _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
+                    light_ref, spec_ref, out_ref,
+                    t_hit=_tile(tp_ref[0, :]), pid=_tile(tp_ref[1, :]),
+                    ef_ref=ef_ref, tf_ref=tf_ref, mf_ref=mf_ref)
+
+    if not _skip_dead():
+        return run()
+    alive_any = _tile_alive(state_ref)
+    pl.when(alive_any)(run)
+
+    @pl.when(jnp.logical_not(alive_any))
+    def _():
+        # dead tiles must still write defined K2 rows: the counter rows
+        # (O_SHADOW_CT/O_ENV_CT) are summed over EVERY lane outside the
+        # kernel, and the computed body writes exactly 0 for dead lanes
+        for r in range(out_ref.shape[0]):
+            out_ref[r, :] = jnp.zeros((TILE,), jnp.float32)
 
 
 def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
@@ -1131,17 +1239,33 @@ def _shade_sweep_kernel(consts, settings, u_ref, state_ref, dense_ref,
     kernel's device compute at 1080p."""
     rest = list(rest)
     out_ref = rest.pop()
+    ftab_ref = rest.pop(0) if consts.get("bvh1") else None
     ef_ref = rest.pop(0) if consts.get("env_kind", 0) != 0 else None
     mf_ref = rest.pop(0) if consts.get("medium") else None
-    s = lambda i: _tile(state_ref[i, :])
-    o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
-    d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
-    t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
-                              present_list=consts.get("ct32"),
-                              aabb_base=consts.get("aabb_base"))
-    _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
-                light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid,
-                ef_ref=ef_ref, mf_ref=mf_ref)
+
+    def run():
+        s = lambda i: _tile(state_ref[i, :])
+        o = V3(s(S_O), s(S_O + 1), s(S_O + 2))
+        d = V3(s(S_D), s(S_D + 1), s(S_D + 2))
+        t_hit, pid = _sweep_tiles(dense_ref, o, d, None, closest=True,
+                                  present_list=consts.get("ct32"),
+                                  aabb_base=consts.get("aabb_base"),
+                                  ftab_ref=ftab_ref,
+                                  bvh1_base=consts.get("bvh1_base"),
+                                  bvh1_present=consts.get("bvh1_present"))
+        _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
+                    light_ref, spec_ref, out_ref, t_hit=t_hit, pid=pid,
+                    ef_ref=ef_ref, mf_ref=mf_ref)
+
+    if not _skip_dead():
+        return run()
+    alive_any = _tile_alive(state_ref)
+    pl.when(alive_any)(run)
+
+    @pl.when(jnp.logical_not(alive_any))
+    def _():
+        for r in range(out_ref.shape[0]):
+            out_ref[r, :] = jnp.zeros((TILE,), jnp.float32)
 
 
 _ONEHOT_MAX = 1024   # single-matmul prim fetch up to here (programs for
@@ -1432,12 +1556,13 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             max_le = jnp.zeros((SUB, 128), jnp.float32)
             max_thr = jnp.zeros((SUB, 128), jnp.float32)
             contribs = []
+            nee_fs, nee_pdfs = _bsdf_eval_lanes(
+                mtype, alpha, metal, perm, eta_i, eta_o, kappa, refl,
+                wi_local, wo_local, TransportMode.Radiance,
+                has_ggx=c["has_ggx"], has_metal=c.get("has_metal", True))
             pdf_s0 = None
             for ci in range(C):
-                f_ci, pdf_ci = _bsdf_eval_lane(
-                    mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-                    refl[ci], wi_local, wo_local, TransportMode.Radiance,
-                    has_ggx=c["has_ggx"])
+                f_ci, pdf_ci = nee_fs[ci], nee_pdfs[ci]
                 if ci == 0:
                     pdf_s0 = pdf_ci
                 spd_l = _sel_rows(R[ci], l_mat, 4, n_mats, stride=5)
@@ -1510,7 +1635,7 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
         wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
             a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3),
             kappa[0], metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
-            TransportMode.Radiance)
+            TransportMode.Radiance, has_metal=c.get("has_metal", True))
         is_ggx = mtype == MAT_GGX
         wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
         f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
@@ -1524,15 +1649,10 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
     ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
 
     # companion-lane ratios via 4-lane eval (hero-death direct fallback)
-    f_lanes = []
-    p_lanes = []
-    for ci in range(C):
-        f_ci, p_ci = _bsdf_eval_lane(
-            mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-            refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
-            has_ggx=c["has_ggx"])
-        f_lanes.append(f_ci)
-        p_lanes.append(p_ci)
+    f_lanes, p_lanes = _bsdf_eval_lanes(
+        mtype, alpha, metal, perm, eta_i, eta_o, kappa, refl,
+        wi_local, wo_local_s, TransportMode.Radiance,
+        has_ggx=c["has_ggx"], has_metal=c.get("has_metal", True))
     hero_f = f_lanes[0]
     hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
     inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
@@ -1632,32 +1752,67 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
 # ----------------------------------------------------------------- kernel K4
 
 
+def _finalize_passthrough(state_ref, out_ref):
+    """Dead-tile K4 else-branch: the computed finalize of an all-dead tile
+    is a bit-exact state passthrough with zero counter indicators (every
+    merge is masked by continue/has_work, both 0), so copy + zero IS the
+    computed result."""
+    for r in range(NS):
+        out_ref[r, :] = state_ref[r, :]
+    for r in range(NS, out_ref.shape[0]):
+        out_ref[r, :] = jnp.zeros((TILE,), jnp.float32)
+
+
 def _finalize_kernel(consts, settings, u_ref, state_ref, k2_ref, *rest):
     *blk_refs, out_ref = rest
-    _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
-                   blocked=[_tile(b[0, :]) > 0.5 for b in blk_refs])
+
+    def run():
+        _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                       blocked=[_tile(b[0, :]) > 0.5 for b in blk_refs])
+
+    if not _skip_dead():
+        return run()
+    alive_any = _tile_alive(state_ref)
+    pl.when(alive_any)(run)
+    pl.when(jnp.logical_not(alive_any))(
+        lambda: _finalize_passthrough(state_ref, out_ref))
 
 
 def _finalize_sweep_kernel(consts, settings, u_ref, state_ref, k2_ref,
-                           dense_ref, out_ref):
+                           dense_ref, *rest):
     """K3+K4 fused: the NEE shadow sweeps run INLINE (dense-table chunks in
     VMEM, _sweep_tiles) and feed straight into the finalize body — two fewer
     dispatched programs per bounce round on a tunnel whose per-program
     dispatch latency exceeds the round's device compute."""
-    ls = settings["light_samples"]
-    ct32 = consts.get("ct32")
-    k2 = lambda i: _tile(k2_ref[i, :])
-    blocked = []
-    for si in range(ls):
-        base = O_NEE + 12 * si
-        so = V3(k2(base + 0), k2(base + 1), k2(base + 2))
-        sd = V3(k2(base + 3), k2(base + 4), k2(base + 5))
-        tmax = k2(base + 6)
-        blocked.append(_sweep_tiles(dense_ref, so, sd, tmax,
-                                    closest=False, present_list=ct32,
-                                    aabb_base=consts.get("aabb_base")))
-    _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
-                   blocked=blocked)
+    rest = list(rest)
+    out_ref = rest.pop()
+    ftab_ref = rest.pop(0) if consts.get("bvh1") else None
+
+    def run():
+        ls = settings["light_samples"]
+        ct32 = consts.get("ct32")
+        k2 = lambda i: _tile(k2_ref[i, :])
+        blocked = []
+        for si in range(ls):
+            base = O_NEE + 12 * si
+            so = V3(k2(base + 0), k2(base + 1), k2(base + 2))
+            sd = V3(k2(base + 3), k2(base + 4), k2(base + 5))
+            tmax = k2(base + 6)
+            blocked.append(_sweep_tiles(dense_ref, so, sd, tmax,
+                                        closest=False, present_list=ct32,
+                                        aabb_base=consts.get("aabb_base"),
+                                        ftab_ref=ftab_ref,
+                                        bvh1_base=consts.get("bvh1_base"),
+                                        bvh1_present=consts.get("bvh1_present")))
+        _finalize_body(consts, settings, u_ref, state_ref, k2_ref, out_ref,
+                       blocked=blocked)
+
+    if not _skip_dead():
+        return run()
+    alive_any = _tile_alive(state_ref)
+    pl.when(alive_any)(run)
+    pl.when(jnp.logical_not(alive_any))(
+        lambda: _finalize_passthrough(state_ref, out_ref))
 
 
 def _finalize_core(consts, settings, u_rr, rnd, s, state_ref, out_ref,
@@ -1899,7 +2054,8 @@ def _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t, interpret,
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = \
+        tabs[:7]
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
@@ -1944,7 +2100,9 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = \
+        tabs[:7]
+    fetch_tab = tabs[7] if len(tabs) > 7 else None
     n_pad = state.shape[1]
     ls = settings["light_samples"]
     nk2 = _k2_rows(ls)
@@ -1961,6 +2119,9 @@ def _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret):
         _full_block_spec(light_tab),
         _full_block_spec(spec_tab),
     ]
+    if consts.get("bvh1"):
+        ins.append(fetch_tab)
+        in_specs.append(_full_block_spec(fetch_tab))
     if env_args is not None:
         ins.append(_env_feed(env_args, state, u, ls, settings["c_lanes"]))
         in_specs.append(_row_spec(_ef_rows(ls, settings["c_lanes"])))
@@ -2012,7 +2173,7 @@ def _k4_call(state, k2, blks, counters, key, it_dev, settings_t, consts_t,
 
 @_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
 def _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
-              consts_t, interpret):
+              consts_t, interpret, fetch_tab=None):
     """Shadow sweeps + finalize as ONE dispatched program (K3xls+K4 fused)."""
     import jax.random as jrandom
 
@@ -2024,19 +2185,24 @@ def _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
     nk2 = _k2_rows(ls)
     u = jrandom.uniform(jrandom.fold_in(jrandom.fold_in(key, it_dev), 1),
                         (NU4, n_pad))
+    ins = [u, state, k2, dense_tab]
+    in_specs = [
+        _row_spec(NU4),
+        _row_spec(NS),
+        _row_spec(nk2),
+        _full_block_spec(dense_tab),
+    ]
+    if consts.get("bvh1"):
+        ins.append(fetch_tab)
+        in_specs.append(_full_block_spec(fetch_tab))
     out4 = pl.pallas_call(
         functools.partial(_finalize_sweep_kernel, consts, settings),
         grid=(n_pad // TILE,),
-        in_specs=[
-            _row_spec(NU4),
-            _row_spec(NS),
-            _row_spec(nk2),
-            _full_block_spec(dense_tab),
-        ],
+        in_specs=in_specs,
         out_specs=_row_spec(NK4),
         out_shape=jax.ShapeDtypeStruct((NK4, n_pad), jnp.float32),
         interpret=interp,
-    )(u, state, k2, dense_tab)
+    )(*ins)
     state_out = out4[:NS]
     counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(out4[O4_BOUNCE_CT]))
     counters = counters.at[prof.SHADOW_RAYS].add(jnp.sum(k2[O_SHADOW_CT]))
@@ -2062,9 +2228,10 @@ def _mega_step(state, counters, it_dev, tabs, key, settings_t, consts_t,
     but its Mosaic compile never finishes on the tunnel; 2 programs is the
     measured floor that still compiles in seconds."""
     dense_tab = tabs[1]
+    ftab = tabs[7] if len(tabs) > 7 else None
     k2 = _k12_call(state, tabs, key, it_dev, settings_t, consts_t, interpret)
     return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
-                     consts_t, interpret)
+                     consts_t, interpret, fetch_tab=ftab)
 
 
 @_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",))
@@ -2079,9 +2246,10 @@ def _mega_step_1prog(state, counters, it_dev, tabs, key, settings_t,
     2x wall clock once the compile is amortized (it is cached per
     process and — via the terminal's compile cache — across runs)."""
     dense_tab = tabs[1]
+    ftab = tabs[7] if len(tabs) > 7 else None
     k2 = _k12_call.raw(state, tabs, key, it_dev, settings_t, consts_t, interpret)
     return _k34_call.raw(state, k2, dense_tab, counters, key, it_dev, settings_t,
-                     consts_t, interpret)
+                     consts_t, interpret, fetch_tab=ftab)
 
 
 @_mega_jit(static_argnames=("settings_t", "consts_t", "interpret", "rounds",))
@@ -2096,12 +2264,13 @@ def _mega_step_multi(state, counters, it_dev, tabs, key, settings_t,
     1080p wall clock; the drain tail wastes at most rounds-1 dead-lane
     rounds per sync."""
     dense_tab = tabs[1]
+    ftab = tabs[7] if len(tabs) > 7 else None
     for _ in range(rounds):
         k2 = _k12_call.raw(state, tabs, key, it_dev, settings_t, consts_t,
                        interpret)
         state, counters, it_dev = _k34_call.raw(
             state, k2, dense_tab, counters, key, it_dev, settings_t,
-            consts_t, interpret)
+            consts_t, interpret, fetch_tab=ftab)
     return state, counters, it_dev
 
 
@@ -2124,7 +2293,8 @@ def _mega_step_texfeed(state, counters, it_dev, tabs, tex_args, key,
     k2 = _k2_call.raw(state, tp, tabs, key, it_dev, settings_t, consts_t,
                       interpret, tf=tf)
     return _k34_call.raw(state, k2, dense_tab, counters, key, it_dev,
-                         settings_t, consts_t, interpret)
+                         settings_t, consts_t, interpret,
+                         fetch_tab=tabs[7] if len(tabs) > 7 else None)
 
 
 def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
@@ -2140,7 +2310,8 @@ def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
     k2 = _k2_call(state, tp, tabs, key, it_dev, settings_t, consts_t,
                   interpret)
     return _k34_call(state, k2, dense_tab, counters, key, it_dev, settings_t,
-                     consts_t, interpret)
+                     consts_t, interpret,
+                     fetch_tab=tabs[7] if len(tabs) > 7 else None)
 
 
 @functools.partial(
@@ -2347,7 +2518,7 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         wb_span=float(wb.span),
     )
     tabs = (scene.prim_tab, scene.dense_tab, scene.mat_tab, scene.light_tab,
-            scene.spec_tab, scene.env_args, scene.med_args)
+            scene.spec_tab, scene.env_args, scene.med_args, scene.fetch_tab)
     settings_t = _freeze(settings_d)
     consts_t = _freeze(scene.consts)
 
@@ -2596,15 +2767,22 @@ GWF = 512  # fused-sweep ray group (lanes)
 
 
 def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None,
-                 aabb_base=None):
+                 aabb_base=None, ftab_ref=None, bvh1_base=None,
+                 bvh1_present=None):
     """In-kernel sweep over [SUB, 128] ray tiles (lanes = rays): reshape to
     (TILE//GWF, GWF) row groups, test PBF-prim sublane blocks, reduce via
     dense.sweep_rowgroup (long homogeneous chunk runs ride a fori_loop —
     flattened instanced scenes keep the Mosaic body O(type runs)).
     closest=True -> (t [SUB,128], id [SUB,128]); else blocked mask.
     present_list: static per-chunk type presence (dense.chunk_type_presence,
-    block=PBF)."""
-    from pathtracer_tpu.kernels.dense import sweep_rowgroup
+    block=PBF).
+
+    ftab_ref set -> per-lane front-to-back chunk traversal instead
+    (dense.sweep_rowgroup_bvh1): each lane visits only the chunks its ray
+    enters, nearest-first, via one-hot MXU chunk fetches; bvh1_base is the
+    dense-table row offset of the chunk-AABB rows, bvh1_present the static
+    scene-wide type presence."""
+    from pathtracer_tpu.kernels.dense import sweep_rowgroup, sweep_rowgroup_bvh1
 
     g = TILE // GWF
     rs = lambda x: x.reshape(g, GWF)
@@ -2622,7 +2800,21 @@ def _sweep_tiles(dense_ref, o, d, t_max, closest, present_list=None,
         tmin = jnp.full((1, GWF), INTERSECTION_TIME_OFFSET, jnp.float32)
         tmax = (tmax_r[rg:rg + 1, :] if tmax_r is not None
                 else jnp.full((1, GWF), RAY_TMAX, jnp.float32))
-        if closest:
+        if ftab_ref is not None:
+            if closest:
+                best_t, best_id = sweep_rowgroup_bvh1(
+                    dense_ref, ftab_ref, PBF, bvh1_base,
+                    oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                    closest=True, present=bvh1_present)
+                hitf = jnp.isfinite(best_t)
+                rows_a.append(best_t)
+                rows_b.append(jnp.where(hitf, best_id, -1.0))
+            else:
+                rows_a.append(sweep_rowgroup_bvh1(
+                    dense_ref, ftab_ref, PBF, bvh1_base,
+                    oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
+                    closest=False, present=bvh1_present))
+        elif closest:
             best_t, best_id = sweep_rowgroup(
                 dense_ref, PBF, oxr, oyr, ozr, dxr, dyr, dzr, tmin, tmax,
                 closest=True, chunk_types=present_list,
@@ -2649,6 +2841,21 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     kernels/dense.py inlined via _sweep_tiles (same per-function reference
     citations apply); NEE shadow rays resolve immediately instead of
     round-tripping through HBM."""
+    if _skip_dead():
+        alive_any = _tile_alive(state_ref)
+        pl.when(alive_any)(
+            lambda: _all_kernel_body(consts, settings, u_ref, state_ref,
+                                     dense_ref, prim_ref, mat_ref, light_ref,
+                                     spec_ref, out_ref))
+        pl.when(jnp.logical_not(alive_any))(
+            lambda: _finalize_passthrough(state_ref, out_ref))
+        return
+    _all_kernel_body(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
+                     mat_ref, light_ref, spec_ref, out_ref)
+
+
+def _all_kernel_body(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
+                     mat_ref, light_ref, spec_ref, out_ref):
     c = consts
     ls = settings["light_samples"]
     C = settings["c_lanes"]
@@ -2827,12 +3034,13 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
             max_le = jnp.zeros((SUB, 128), jnp.float32)
             max_thr = jnp.zeros((SUB, 128), jnp.float32)
             contribs = []
+            nee_fs, nee_pdfs = _bsdf_eval_lanes(
+                mtype, alpha, metal, perm, eta_i, eta_o, kappa, refl,
+                wi_local, wo_local, TransportMode.Radiance,
+                has_ggx=c["has_ggx"], has_metal=c.get("has_metal", True))
             pdf_s0 = None
             for ci in range(C):
-                f_ci, pdf_ci = _bsdf_eval_lane(
-                    mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-                    refl[ci], wi_local, wo_local, TransportMode.Radiance,
-                    has_ggx=c["has_ggx"])
+                f_ci, pdf_ci = nee_fs[ci], nee_pdfs[ci]
                 if ci == 0:
                     pdf_s0 = pdf_ci
                 spd_l = _sel_rows(R[ci], l_mat, 4, n_mats, stride=5)
@@ -2877,7 +3085,7 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
         wo_ggx_s, f_ggx_s, pdf_ggx_s, w_ggx_s = cmath.sample_ggx(
             a_g, jnp.maximum(eta_i[0], 1e-3), jnp.maximum(eta_o[0], 1e-3),
             kappa[0], metal > 0.5, perm, wi_local, u_b[0], u_b[1], u_b[2],
-            TransportMode.Radiance)
+            TransportMode.Radiance, has_metal=c.get("has_metal", True))
         is_ggx = mtype == MAT_GGX
         wo_local_s = cmath.where(is_ggx, wo_ggx_s, wo_lam_s)
         f_pdf = jnp.where(is_ggx, pdf_ggx_s, pdf_lam_s)
@@ -2890,15 +3098,10 @@ def _all_kernel(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     f_pdf = jnp.where(is_pass, 0.0, f_pdf)
     ratio_hero = jnp.where(is_pass, 0.0, ratio_hero)
 
-    f_lanes = []
-    p_lanes = []
-    for ci in range(C):
-        f_ci, p_ci = _bsdf_eval_lane(
-            mtype, alpha, metal, perm, eta_i[ci], eta_o[ci], kappa[ci],
-            refl[ci], wi_local, wo_local_s, TransportMode.Radiance,
-            has_ggx=c["has_ggx"])
-        f_lanes.append(f_ci)
-        p_lanes.append(p_ci)
+    f_lanes, p_lanes = _bsdf_eval_lanes(
+        mtype, alpha, metal, perm, eta_i, eta_o, kappa, refl,
+        wi_local, wo_local_s, TransportMode.Radiance,
+        has_ggx=c["has_ggx"], has_metal=c.get("has_metal", True))
     hero_f = f_lanes[0]
     hero_dead = (hero_f <= 0.0) & (f_pdf > 1e-12)
     inv_hero = jnp.where(hero_f > 0.0, 1.0 / jnp.where(hero_f > 0.0, hero_f, 1.0), 0.0)
@@ -2954,7 +3157,8 @@ def _step_fused(state, counters, it_dev, tabs, key, settings_t, consts_t,
     settings = dict(settings_t)
     consts = dict(consts_t)
     interp = pltpu.InterpretParams() if interpret else False
-    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = tabs
+    prim_tab, dense_tab, mat_tab, light_tab, spec_tab, env_args, med_args = \
+        tabs[:7]
     assert env_args is None and med_args is None, (
         "fused single-dispatch round does not support HDR/Sun environments "
         "or medium-aware transport — their XLA feeds must live between the "
