@@ -107,6 +107,61 @@ class RealisticCamera(NamedTuple):
         )
         return o_world, d_world, valid.astype(jnp.float32)
 
+    def get_ray_hwss(self, film_u, film_v, lens_u1, lens_u2, lam):
+        """HWSS imaging (lam f32[N, C], lane 0 = hero): the GEOMETRIC ray is
+        the hero's chromatic trace, and every companion λ is ALSO traced
+        through the assembly from the same (film point, lens point) —
+        vectorizing the per-element march over the C axis — so companions
+        get their exact chromatic vignetting (lane weight W_e(λ_c) = the
+        companion trace's validity) and their exact sampling density of the
+        shared lens point for the Wilkie spectral-MIS ratios (the exit
+        pupil radius is λ-dependent: p_c/p_0 = (r_0/r_c)² inside the
+        companion pupil, 0 outside). Residual approximation: companion
+        radiance is still evaluated along the hero's exit direction (the
+        assembly's angular dispersion); energy and vignetting are λ-exact.
+        Reference per-sample single-λ trace: realistic_camera.rs:77-194.
+
+        Returns (o_world, d_world, tau_hero, lane_w f32[N, C],
+        pdfr0 f32[N, C]) with lane 0 of lane_w/pdfr0 ≡ 1."""
+        C = lam.shape[-1]
+        sx = (film_u * 2.0 - 1.0) * self.sensor_half * self.aspect
+        sy = (1.0 - film_v * 2.0) * self.sensor_half
+        film_r = jnp.sqrt(sx * sx + sy * sy)
+        r_lanes = [self._pupil_radius(film_r, lam[..., ci])
+                   for ci in range(C)]
+        r0 = r_lanes[0]
+        o_cam = jnp.stack(
+            [sx, sy, jnp.broadcast_to(self.film_z_offset, sx.shape)], -1)
+        disk = sampling.random_in_unit_disk(lens_u1, lens_u2) * r0[..., None]
+        disk_r = jnp.sqrt(disk[..., 0] ** 2 + disk[..., 1] ** 2)
+        target = jnp.stack(
+            [disk[..., 0], disk[..., 1],
+             jnp.broadcast_to(self.rear_z, sx.shape)], -1)
+        d_cam = vecmath.normalize(target - o_cam)
+        o_out, d_out, valid0 = trace_from_film(self.stack, o_cam, d_cam,
+                                               lam[..., 0])
+        o_world = (
+            self.origin
+            + o_out[..., 0:1] * self.u
+            + o_out[..., 1:2] * self.v
+            + (o_out[..., 2:3] - self.stack.total_thickness) * self.w
+        )
+        d_world = vecmath.normalize(
+            d_out[..., 0:1] * self.u + d_out[..., 1:2] * self.v
+            + d_out[..., 2:3] * self.w
+        )
+        lane_w = [jnp.ones_like(r0)]
+        pdfr0 = [jnp.ones_like(r0)]
+        for ci in range(1, C):
+            _, _, valid_c = trace_from_film(self.stack, o_cam, d_cam,
+                                            lam[..., ci])
+            lane_w.append(valid_c.astype(jnp.float32))
+            rc = jnp.maximum(r_lanes[ci], 1e-9)
+            ratio = (r0 / rc) ** 2
+            pdfr0.append(jnp.where(disk_r <= rc, ratio, 0.0))
+        return (o_world, d_world, valid0.astype(jnp.float32),
+                jnp.stack(lane_w, -1), jnp.stack(pdfr0, -1))
+
     def get_pixel_for_ray(self, o, d, lam=None):
         """Film (u, v) for a ray arriving at the front of the assembly:
         reverse-trace scene->film through every interface (lens.trace_to_film)

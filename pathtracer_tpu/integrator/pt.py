@@ -95,11 +95,14 @@ def _stack_remove(stack, med_id, do):
     return jnp.where(onehot, 0, stack)
 
 
-def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
+def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key,
+             beta0=None, pdfr0=None):
     """Trace one wavefront of camera rays to completion.
 
     o0, d0: f32[N,3]; lam: f32[N] or f32[N,C] wavelength lanes (lane 0 =
-    hero). Returns (energy f32[N,C], counters f32[5])."""
+    hero). beta0/pdfr0 (f32[N,C], default 1): initial lane throughputs and
+    spectral-MIS pdf-ratio products — camera_ray_hwss supplies them for
+    chromatic lens assemblies. Returns (energy f32[N,C], counters f32[5])."""
     if lam.ndim == 1:
         lam = lam[:, None]
     n, C = lam.shape
@@ -459,13 +462,13 @@ def pt_trace(world: World, settings: PTSettings, o0, d0, lam, key):
         jnp.int32(0),
         o0,
         d0,
-        zeroC + 1.0,
+        zeroC + (1.0 if beta0 is None else beta0),
         zeroC,
         zero1 < 1.0,
         zero1,
         jnp.zeros((n, MEDIUM_STACK_K), jnp.int32) + zero1[:, None].astype(jnp.int32),
         counters0,
-        zeroC + 1.0,
+        zeroC + (1.0 if pdfr0 is None else pdfr0),
     )
     state = jax.lax.while_loop(cond, body, state0)
     radiance = state[4]
@@ -482,11 +485,25 @@ def camera_ray(camera, film_u, film_v, u1, u2, lam_hero):
     """Camera ray dispatch: λ-aware lens tracing when the camera supports it
     (RealisticCamera.get_ray_spectral — real chromatic aberration through
     the assembly, realistic_camera.rs:77-194 with the trace at the sampled
-    λ rather than a fixed 550nm). HWSS companion lanes share the hero's
-    lens path (exact for single-λ sampling)."""
+    λ rather than a fixed 550nm)."""
     if hasattr(camera, "get_ray_spectral"):
         return camera.get_ray_spectral(film_u, film_v, u1, u2, lam_hero)
     return camera.get_ray(film_u, film_v, u1, u2)
+
+
+def camera_ray_hwss(camera, film_u, film_v, u1, u2, lam):
+    """HWSS camera ray dispatch (lam f32[N, C]): realistic assemblies trace
+    every companion λ through the lens stack (get_ray_hwss — chromatic
+    vignetting + λ-exact pupil densities for the spectral-MIS ratios);
+    achromatic cameras produce λ-independent rays, so lane weights and
+    pdf ratios are exactly 1. Returns (o, d, tau, lane_w [N,C],
+    pdfr0 [N,C])."""
+    C = lam.shape[-1]
+    if C > 1 and hasattr(camera, "get_ray_hwss"):
+        return camera.get_ray_hwss(film_u, film_v, u1, u2, lam)
+    o, d, tau = camera_ray(camera, film_u, film_v, u1, u2, lam[..., 0])
+    ones = jnp.ones(lam.shape, jnp.float32)
+    return o, d, tau, ones, ones
 
 
 def sample_hero_wavelengths(key, n, bounds: Bounds1D, lanes: int):
@@ -507,9 +524,10 @@ def trace_camera_sample(world, camera, settings: PTSettings, film_uv, key):
     C = HWSS_LANES if settings.hwss else 1
     lam = sample_hero_wavelengths(k_lam, n, wb, C)
     ul = jax.random.uniform(k_lens, (n, 2))
-    o, d, tau = camera_ray(camera, film_uv[:, 0], film_uv[:, 1],
-                           ul[:, 0], ul[:, 1], lam[:, 0])
-    energy, counters = pt_trace(world, settings, o, d, lam, k_walk)
+    o, d, tau, lane_w, pdfr0 = camera_ray_hwss(
+        camera, film_uv[:, 0], film_uv[:, 1], ul[:, 0], ul[:, 1], lam)
+    energy, counters = pt_trace(world, settings, o, d, lam, k_walk,
+                                beta0=lane_w, pdfr0=pdfr0)
     # MC estimator of ∫ L(λ) x̄(λ) dλ: each lane has pdf C/span -> average
     # the lanes and scale by span; tau = camera-ray weight (vignetting)
     xyz = jnp.sum(cie.wavelength_to_xyz(lam, energy), axis=1) * (wb.span / C)

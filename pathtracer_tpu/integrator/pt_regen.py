@@ -81,14 +81,14 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         return jnp.repeat(x, C, axis=0)
 
     def spawn(rnd):
-        from pathtracer_tpu.integrator.pt import camera_ray
+        from pathtracer_tpu.integrator.pt import camera_ray_hwss
 
         film_uv = (xy + rnd[:, 0:2]) * inv_res
         offs = jnp.arange(C, dtype=jnp.float32) / C
         lam = wb.lower + ((rnd[:, 4:5] + offs[None, :]) % 1.0) * wb.span
-        o, d, tau = camera_ray(camera, film_uv[:, 0], film_uv[:, 1],
-                               rnd[:, 2], rnd[:, 3], lam[:, 0])
-        return o, d, lam, tau
+        o, d, tau, lane_w, pdfr0 = camera_ray_hwss(
+            camera, film_uv[:, 0], film_uv[:, 1], rnd[:, 2], rnd[:, 3], lam)
+        return o, d, lam, tau, lane_w, pdfr0
 
     n_u = 7 + 3 * max(settings.light_samples, 1) + 5
 
@@ -362,7 +362,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         done = done + died.astype(jnp.int32)
         has_work = died & (done < spp)
         rnd = jax.random.uniform(sampling.fold(key, rnd_i + 1), (n, 5))
-        o_s, d_s, lam_s, tau_s = spawn(rnd)
+        o_s, d_s, lam_s, tau_s, lane_w_s, pdfr0_s = spawn(rnd)
         counters = counters.at[prof.CAMERA_RAYS].add(
             jnp.sum(has_work.astype(jnp.float32)))
 
@@ -371,14 +371,14 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         lam = jnp.where(has_work[:, None], lam_s, lam)
         beta = jnp.where(continue_path[:, None], beta_next,
                          jnp.where(has_work[:, None],
-                                   tau_s[:, None] * jnp.ones((n, C)), beta))
+                                   tau_s[:, None] * lane_w_s, beta))
         path_rad = jnp.where(died[:, None], 0.0, path_rad)
         bounce_ct = jnp.where(continue_path, bounce_ct + 1,
                               jnp.where(has_work, 0, bounce_ct))
         prev_pdf = jnp.where(continue_path, f_pdf, jnp.where(has_work, 0.0, prev_pdf))
         if C > 1:
             pdfr = jnp.where(continue_path[:, None], pdfr * pscale,
-                             jnp.where(has_work[:, None], 1.0, pdfr))
+                             jnp.where(has_work[:, None], pdfr0_s, pdfr))
         # respawned camera paths restart in vacuum (stack all-zero)
         med_stack = jnp.where(has_work[:, None] & ~continue_path[:, None],
                               0, med_stack)
@@ -390,13 +390,13 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         return jnp.any(state[8])
 
     rnd0 = jax.random.uniform(sampling.fold(key, 1), (n, 5))
-    o0, d0, lam0, tau0 = spawn(rnd0)
+    o0, d0, lam0, tau0, lane_w0, pdfr00 = spawn(rnd0)
     zero1 = o0[:, 0] * 0.0
     counters0 = prof.zeros().at[prof.CAMERA_RAYS].add(float(n)) + jnp.sum(zero1)
     stack_k = 4  # pt.MEDIUM_STACK_K (always carried; zeros when unused)
     state0 = (
         jnp.int32(10), o0, d0, lam0,
-        tau0[:, None] * jnp.ones((n, C)),
+        tau0[:, None] * lane_w0,
         jnp.zeros((n, C)),
         jnp.zeros((n, 3)) + zero1[:, None] * 0.0,
         jnp.zeros((n,), jnp.int32),
@@ -405,7 +405,7 @@ def pt_trace_regen(world: World, camera, settings: PTSettings,
         zero1,
         jnp.zeros((n, stack_k), jnp.int32),
         counters0,
-        jnp.ones((n, C)) + zero1[:, None] * 0.0,
+        pdfr00 + zero1[:, None] * 0.0,
     )
     if init_state is not None:
         state0 = init_state

@@ -2689,6 +2689,22 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
             # and the check cadence stay in round units (ADVICE r3 #2)
             k_cur = rounds_per_prog
             stepper = step_fn
+        # chain-only adaptive tail (PT_MEGA_CHAIN_TAIL=0 disables): once
+        # the dead-tile skip makes low-occupancy rounds device-cheap, the
+        # drain tail's remaining cost is the ~8.8 ms/program dispatch
+        # pacing floor (PARITY rule 8). Chaining K rounds per program is
+        # BITWISE-identical packaging (_mega_step_multi docstring), so
+        # when the pipelined alive count drops below 1/8 (1/50) of the
+        # wavefront, repackage to 4 (8) rounds per dispatch. Unlike the
+        # opt-in compaction ladder this never changes lane population or
+        # the sample stream. Compiles of the chained programs are seconds
+        # on the rebuilt tunnel and persist in the repo compile cache.
+        chain_tail = (not interpret
+                      and not tail_on
+                      and rounds_per_prog == 1
+                      and not tex_feed
+                      and (fused_ok or step_fn is _mega_step)
+                      and _os.environ.get("PT_MEGA_CHAIN_TAIL", "1") != "0")
         calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
         pending: list = []  # (it_at_issue, device scalar future)
         stop = False
@@ -2709,6 +2725,14 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                 # descend the width ladder once the population clearly
                 # fits: alive is monotone non-increasing, so the slightly
                 # stale count is an upper bound on the current population
+                if chain_tail:
+                    frac = v / float(max(m, 1))
+                    k_want = 8 if frac <= 0.02 else 4 if frac <= 0.125 \
+                        else k_cur
+                    if k_want > k_cur:
+                        k_cur = k_want
+                        stepper = _chained(k_cur)
+                        calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
                 target = m
                 for w in ladder:
                     if w < target and v <= w // 2:
