@@ -29,10 +29,30 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # rows to cold-compile timeouts; measured 2026-08-20: a ~100 s tunnel
 # compile becomes a 0.1 s cache hit across fresh processes). Opt out with
 # PT_NO_COMPILE_CACHE=1; relocate with PT_COMPILE_CACHE_DIR.
+# CPU-platform runs (JAX_PLATFORMS=cpu — the virtual-mesh tests and the
+# driver's multichip dryrun) get a HOST-FINGERPRINTED subdirectory:
+# XLA:CPU AOT artifacts bake host machine features, and loading another
+# host's entries warns "could lead to ... SIGILL" (seen 2026-08-21), so a
+# driver on different hardware must never read the builder's CPU entries.
+# Tunnel TPU compiles (the cache's real value) share the common dir.
+_plat = (_os.environ.get("JAX_PLATFORMS")
+         or _os.environ.get("JAX_PLATFORM_NAME") or "")
 if not _os.environ.get("PT_NO_COMPILE_CACHE"):
     _cache_dir = _os.environ.get("PT_COMPILE_CACHE_DIR") or _os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "cache", "jax_cache")
+    if "cpu" in _plat:
+        import hashlib as _hashlib
+
+        try:
+            with open("/proc/cpuinfo") as _f:
+                # stable id lines only (cpu MHz etc. vary per boot)
+                _id = "".join(sorted({l for l in _f
+                                      if l.startswith(("flags", "model name"))}))
+            _fp = _hashlib.sha1(_id.encode()).hexdigest()[:12]
+        except OSError:
+            _fp = "nohost"
+        _cache_dir = _cache_dir + "_cpu_" + _fp
     try:
         _os.makedirs(_cache_dir, exist_ok=True)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)

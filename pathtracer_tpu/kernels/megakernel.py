@@ -2450,7 +2450,13 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     statistically, not bit-wise.
     """
     c_lanes = C_LANES if settings.hwss else 1
-    med_key = bool(settings.medium_aware)  # consts/med_args depend on it
+    # the bake reads these env levers (AABB gate rows / bvh1 fetch table):
+    # they MUST join the cache key or an in-process A/B harness flipping
+    # them silently re-measures the first variant's scene (this exact bug
+    # voided the round-3 "chunk-AABB gate zero win" measurement)
+    bake_env = (_os_top.environ.get("PT_SWEEP_AABB"),
+                _os_top.environ.get("PT_SWEEP_BVH1"))
+    med_key = (bool(settings.medium_aware), bake_env)
     cached = _SCENE_CACHE.get("entry")
     if (cached is not None and cached[0] is world and cached[1] is camera
             and cached[3] == med_key):
