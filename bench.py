@@ -86,12 +86,15 @@ def config_cornell_1080(out):
     # Mrays/s (PARITY.md rule 8, productized per VERDICT r3 #3). The
     # 12 spp number is kept as a secondary key for round-over-round
     # comparability. A 384 spp 1080p render is ~9 s timed.
+    # Partial lines after EVERY phase: a cap overrun mid-config still
+    # lands the phases that finished (the parent parses timed-out stdout).
     mrays, spp_s, runs = _render_pt("data/scenes/cornell_box.toml", 384,
                                     1080, 1080, repeats=3)
     out["value"] = round(mrays, 2)
     out["vs_baseline"] = round(mrays / BASELINE_MRAYS, 3)
     out["spp_per_sec_1080p"] = round(spp_s, 3)
     out["cornell_1080_384spp_runs"] = runs
+    print("BENCH_RESULT " + json.dumps(out), flush=True)
     mrays12, spp12, runs12 = _render_pt("data/scenes/cornell_box.toml", 12,
                                         1080, 1080, repeats=3)
     out["cornell_1080_12spp_mrays"] = round(mrays12, 2)
@@ -173,6 +176,7 @@ def config_bdpt_lt(out):
     np.asarray(film)
     out["bdpt_cornell_512_mrays"] = round(
         prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
+    print("BENCH_RESULT " + json.dumps(out), flush=True)
     lt = LTSettings(max_bounces=8, stratified=True)
     render_splatted(bundle.world, camera, lt, 512, 512, 2, key=jax.random.PRNGKey(0))
     t0 = time.perf_counter()
@@ -235,7 +239,18 @@ def main():
                 result.update(json.loads(found[-1][len("BENCH_RESULT "):]))
             else:
                 result[name + "_error"] = (r.stdout + r.stderr)[-400:]
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            # a config emits a partial BENCH_RESULT after each phase —
+            # salvage the newest one from the killed child's stdout
+            # (round-5 cornell_1080 lost its finished 384-spp phase to the
+            # 12-spp phase's cold compile overrunning the cap)
+            stdout = e.stdout or b""
+            if isinstance(stdout, bytes):
+                stdout = stdout.decode("utf-8", "replace")
+            found = [l for l in stdout.splitlines()
+                     if l.startswith("BENCH_RESULT ")]
+            if found:
+                result.update(json.loads(found[-1][len("BENCH_RESULT "):]))
             result[name + "_error"] = f"timeout after {timeout_s}s"
         emit()
 

@@ -2705,10 +2705,17 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         # opt-in compaction ladder this never changes lane population or
         # the sample stream. Compiles of the chained programs are seconds
         # on the rebuilt tunnel and persist in the repo compile cache.
+        # single-chunk-class scenes only (<=4 chunks): those rounds are
+        # pacing-floor-bound, which is the cost the tail removes. Multi-
+        # chunk scenes are compute-bound per round (chaining buys ~nothing)
+        # AND their K-round chained programs multiply the heavyweight
+        # multi-chunk sweep body K times — the gem's lazy k=4/k=8 compiles
+        # blew the round-5 driver bench's 700 s cap (2026-08-21).
         chain_tail = (not interpret
                       and not tail_on
                       and rounds_per_prog == 1
                       and not tex_feed
+                      and n_chunks <= 4
                       and (fused_ok or step_fn is _mega_step)
                       and _os.environ.get("PT_MEGA_CHAIN_TAIL", "1") != "0")
         calls_per_sync = max(ALIVE_CHECK_ASYNC // k_cur, 1)
