@@ -68,7 +68,7 @@ def run(scene_name, scene, spp, mb, variants):
         code = CHILD.format(repo=REPO, scene=scene, mb=mb, spp=spp)
         try:
             r = subprocess.run([sys.executable, "-c", code], env=env,
-                               capture_output=True, text=True, timeout=1500,
+                               capture_output=True, text=True, timeout=2200,
                                cwd=REPO)
             lines = [l for l in r.stdout.splitlines() if l.startswith(("RUN", "AB_RESULT"))]
             ok = [l for l in lines if l.startswith("AB_RESULT")]
@@ -79,7 +79,7 @@ def run(scene_name, scene, spp, mb, variants):
                 print(f"{scene_name} {tag}: FAIL\n{(r.stdout + r.stderr)[-600:]}",
                       flush=True)
         except subprocess.TimeoutExpired:
-            print(f"{scene_name} {tag}: TIMEOUT 1500s", flush=True)
+            print(f"{scene_name} {tag}: TIMEOUT 2200s", flush=True)
 
 
 if __name__ == "__main__":
