@@ -2556,7 +2556,9 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     fused_ok = (scene.env_args is None
                 and scene.med_args is None
                 and not tex_feed
-                and int(settings.light_samples) > 0
+                and (int(settings.light_samples) > 0
+                     # A/B override for the ls=0 anomaly harness
+                     or _os.environ.get("PT_MEGA_FORCE_FUSED"))
                 and scene.dense_tab.shape[0] // 32 <= 4
                 and not _os.environ.get("PT_MEGA_NOFUSED")
                 and not _os.environ.get("PT_MEGA_3PROG")
