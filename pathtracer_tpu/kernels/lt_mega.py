@@ -473,8 +473,9 @@ def _spawn_inkernel(consts, settings, usp, light_ref, spec_ref, lcdf_ref):
     cos_t = u0[4] ** (1.0 / (nexp + 1.0))
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     phi_d = 2.0 * jnp.pi * u0[5]
-    pick_rev = jnp.where(l_side == 1, True,
-                         jnp.where(l_side == 0, False, u0[6] < 0.5))
+    # boolean algebra, not jnp.where with python bools: Mosaic rejects the
+    # i8->i1 truncation the literal branches lower to
+    pick_rev = (l_side == 1) | ((l_side == 2) & (u0[6] < 0.5))
     t_ax, b_ax = cmath.orthonormal_basis(ln)
     fn = cmath.where(pick_rev, V3(-ln.x, -ln.y, -ln.z), ln)
     lx = sin_t * jnp.cos(phi_d)
