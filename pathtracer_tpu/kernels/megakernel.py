@@ -1829,7 +1829,6 @@ def _finalize_core(consts, settings, u_rr, rnd, s, state_ref, out_ref,
     pipeline only; fused rounds exclude medium scenes)."""
     c = consts
     C = settings["c_lanes"]
-    spp = settings["spp"]
     max_bounces = settings["max_bounces"]
     min_bounces = settings["min_bounces"]
     rr_enabled = settings["russian_roulette"]
@@ -1883,8 +1882,12 @@ def _finalize_core(consts, settings, u_rr, rnd, s, state_ref, out_ref,
         xyz[2] = xyz[2] + e * cie.z_bar(lam[ci])
     for i in range(3):
         acc[i] = acc[i] + jnp.where(died, xyz[i], 0.0)
-    done = done + died.astype(jnp.float32)
-    has_work = died & (done < spp)
+    # S_DONE is a per-lane samples-LEFT countdown (init = spp at spawn):
+    # keeping spp OUT of the kernels' static settings means every spp
+    # shares one compiled program per scene/film — the bench's 384- and
+    # 12-spp phases used to pay two full tunnel compiles each.
+    done = done - died.astype(jnp.float32)
+    has_work = died & (done > 0.5)
     camera_ind = has_work.astype(jnp.float32)
 
     # ---- respawn: thin-lens camera ray (camera/projective.py get_ray +
@@ -2318,7 +2321,7 @@ def _mega_step_3prog(state, counters, it_dev, tabs, key, settings_t, consts_t,
     jax.jit,
     static_argnames=("settings_t", "n", "n_pad"),
 )
-def _mega_init(camera, key, settings_t, n, n_pad):
+def _mega_init(camera, key, settings_t, n, n_pad, spp):
     """Initial spawn as ONE jitted program (state + counters)."""
     import jax.random as jrandom
 
@@ -2329,7 +2332,6 @@ def _mega_init(camera, key, settings_t, n, n_pad):
     width = settings["width"]
     height = settings["height"]
     start = settings["start"]
-    spp = settings["spp"]
     # lane -> owning pixel; with lane replicas (settings["lane_mod"] = batch
     # pixel count) R lanes share each pixel and each renders spp/R samples
     pix = start + jnp.arange(n_pad, dtype=jnp.float32) % settings["lane_mod"]
@@ -2353,7 +2355,8 @@ def _mega_init_fill(state, o0, d0, lam0, tau0, pix, in_batch, c_lanes,
     state = state.at[S_LAM:S_LAM + c_lanes].set(lam0.T)
     state = state.at[S_BETA:S_BETA + c_lanes].set(
         jnp.broadcast_to(tau0[None, :], (c_lanes, n_pad)))
-    state = state.at[S_DONE].set(jnp.where(in_batch, 0.0, spp))
+    # samples-LEFT countdown: padding lanes start exhausted
+    state = state.at[S_DONE].set(jnp.where(in_batch, spp, 0.0))
     state = state.at[S_ALIVE].set(in_batch.astype(jnp.float32))
     state = state.at[S_PIX].set(pix)
     # spectral-MIS pdf-ratio products start at 1
@@ -2363,7 +2366,8 @@ def _mega_init_fill(state, o0, d0, lam0, tau0, pix, in_batch, c_lanes,
 
 
 @functools.partial(jax.jit, static_argnames=("settings_t", "n", "n_pad"))
-def _mega_init_mapped(camera, key, pix, valid, settings_t, n, n_pad):
+def _mega_init_mapped(camera, key, pix, valid, settings_t, n, n_pad,
+                      spp):
     """Initial spawn with a HOST-FED lane->pixel map (PT_MEGA_MORTON):
     lanes are ordered so each 512-lane sweep row group covers a compact
     2D screen block (32x16 pixels) instead of a scanline strip — primary
@@ -2380,7 +2384,6 @@ def _mega_init_mapped(camera, key, pix, valid, settings_t, n, n_pad):
     c_lanes = settings["c_lanes"]
     width = settings["width"]
     height = settings["height"]
-    spp = settings["spp"]
     xy = jnp.stack([pix % width, jnp.floor(pix / width)], axis=-1)
     rnd0 = jrandom.uniform(sampling.fold(key, 1), (n_pad, 5))
     film_uv = (xy + rnd0[:, 0:2]) / jnp.array([width, height], jnp.float32)
@@ -2511,7 +2514,6 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
         c_lanes=c_lanes,
         tile=TILE,  # cache key only: the program jits close over the global
         light_samples=int(settings.light_samples),
-        spp=float(spp // replicas),
         lane_mod=float(n),
         max_bounces=float(settings.max_bounces),
         min_bounces=float(settings.min_bounces),
@@ -2535,9 +2537,10 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     if morton:
         state, counters = _mega_init_mapped(
             camera, key, jnp.asarray(pix_np), jnp.asarray(valid_np),
-            settings_t, n_lanes, n_pad)
+            settings_t, n_lanes, n_pad, jnp.float32(spp // replicas))
     else:
-        state, counters = _mega_init(camera, key, settings_t, n_lanes, n_pad)
+        state, counters = _mega_init(camera, key, settings_t, n_lanes, n_pad,
+                                     jnp.float32(spp // replicas))
     k_iter = sampling.fold(key, 2)
     it_dev = jnp.int32(0)  # device-resident counter: no per-step transfers
     it = 0
@@ -2903,7 +2906,6 @@ def _all_kernel_body(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     n_mats = c["n_mats"]
     n_lights = c["n_lights"]
     have_lights = n_lights > 0
-    spp = settings["spp"]
     max_bounces = settings["max_bounces"]
     min_bounces = settings["min_bounces"]
     rr_enabled = settings["russian_roulette"]
