@@ -14,18 +14,27 @@ from pathtracer_tpu.integrator.bdpt import BDPTSettings, bdpt_trace
 from pathtracer_tpu.utils.profile import Profile
 
 
-@partial(jax.jit, static_argnames=("settings", "width", "height"))
-def _bdpt_chunk(world, camera, key, settings: BDPTSettings, width: int, height: int):
+# film points per inner call: the batched strategy passes build [n·P]
+# lanes (P ≈ max_depth² pairs), so a full 512² film at md=6 materializes
+# 7.9M-lane temps and OOMs the 16G HBM — chunking bounds the working set
+# at identical math (strategies are per-film-point independent)
+BDPT_CHUNK = 1 << 16
+
+
+@partial(jax.jit, static_argnames=("settings", "width", "height", "n_chunk"))
+def _bdpt_chunk(world, camera, key, start, settings: BDPTSettings, width: int,
+                height: int, n_chunk: int):
     n = width * height
-    ids = jnp.arange(n, dtype=jnp.int32)
+    ids = start + jnp.arange(n_chunk, dtype=jnp.int32)
     xy = jnp.stack([(ids % width).astype(jnp.float32), (ids // width).astype(jnp.float32)], axis=-1)
-    jitter = jax.random.uniform(sampling.fold(key, 11), (n, 2))
+    jitter = jax.random.uniform(sampling.fold(key, 11), (n_chunk, 2))
     film_uv = (xy + jitter) / jnp.array([width, height], jnp.float32)
     own, splat_uv, splat_e, lam, lam_splat, counters = bdpt_trace(
         world, camera, settings, film_uv, sampling.fold(key, 13)
     )
     span = settings.wavelength_bounds.span
-    film = cie.wavelength_to_xyz(lam, own) * span
+    own_xyz = cie.wavelength_to_xyz(lam, own) * span
+    film = jnp.zeros((n, 3)).at[ids].add(own_xyz)
     # splats: scatter-add into the film (×W·H handled by caller's normalise)
     px = jnp.clip((splat_uv[:, 0] * width).astype(jnp.int32), 0, width - 1)
     py = jnp.clip((splat_uv[:, 1] * height).astype(jnp.int32), 0, height - 1)
@@ -45,13 +54,16 @@ def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
     splats = jnp.zeros((n, 3))
     total = None
     t0 = time.perf_counter()
+    n_chunk = min(n, BDPT_CHUNK)
     for c in range(min_samples):
-        f, sp, counters = _bdpt_chunk(
-            world, camera, sampling.fold(key, 5000 + c), settings, width, height
-        )
-        film = film + f
-        splats = splats + sp
-        total = counters if total is None else total + counters
+        for start in range(0, n, n_chunk):
+            f, sp, counters = _bdpt_chunk(
+                world, camera, sampling.fold(key, 5000 + c * 7919 + start),
+                jnp.int32(start), settings, width, height,
+                min(n_chunk, n - start))
+            film = film + f
+            splats = splats + sp
+            total = counters if total is None else total + counters
         if progress is not None:
             progress(c + 1, min_samples)
     # own-pixel terms average per sample; splats are film-wide measurements:
