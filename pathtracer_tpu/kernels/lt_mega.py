@@ -1064,18 +1064,17 @@ def _stratify_usp(lt_settings, usp, kf):
     return usp
 
 
-@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",
-                            "lt_settings"))
-def _lt_step_v2(film, state, counters, it_dev, tabs, lt_settings, key,
-                settings_t, consts_t, interpret):
+def _lt_round_v2(film, state, counters, it_dev, tabs, lt_settings,
+                 key, settings, consts, interp):
     """One LT bounce round, v2: K12-LT pallas call + K34-LT pallas call
     with IN-KERNEL spawning (no XLA feed — the v1 feed was ~180 of the
-    226 ms/round at 1M lanes), then the film scatter-adds."""
+    226 ms/round at 1M lanes), then the film scatter-adds. Raw body —
+    jitted alone (_lt_step_v2) or chained K× per dispatched program
+    (_lt_step_v2_multi: LT has no occupancy drain, so every round is
+    full-width and the ~8.8 ms/program tunnel pacing floor is pure
+    per-round overhead that chaining divides by K)."""
     import jax.random as jrandom
 
-    settings = dict(settings_t)
-    consts = dict(consts_t)
-    interp = pltpu.InterpretParams() if interpret else False
     prim_tab, dense_tab, mat_tab, spec_tab, light_tab, lcdf_tab = tabs
     n_pad = state.shape[1]
     cs = settings["camera_samples"]
@@ -1141,6 +1140,32 @@ def _lt_step_v2(film, state, counters, it_dev, tabs, lt_settings, key,
         jnp.sum(out4[aux["conn_ct"]]) + jnp.sum(out4[aux["lv_ct"]]))
     counters = counters.at[prof.LIGHT_RAYS].add(jnp.sum(out4[aux["resp"]]))
     return film, state_out, counters, it_dev + 1
+
+
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",
+                            "lt_settings"))
+def _lt_step_v2(film, state, counters, it_dev, tabs, lt_settings, key,
+                settings_t, consts_t, interpret):
+    interp = pltpu.InterpretParams() if interpret else False
+    return _lt_round_v2(film, state, counters, it_dev, tabs, lt_settings,
+                        key, dict(settings_t), dict(consts_t), interp)
+
+
+@_mega_jit(static_argnames=("settings_t", "consts_t", "interpret",
+                            "lt_settings", "rounds"))
+def _lt_step_v2_multi(film, state, counters, it_dev, tabs, lt_settings, key,
+                      settings_t, consts_t, interpret, rounds):
+    """`rounds` v2 LT rounds chained in ONE dispatched program (2·rounds
+    pallas calls + in-program scatter-adds): identical per-round ops and
+    uniform streams (keyed by it_dev), just fewer dispatches."""
+    interp = pltpu.InterpretParams() if interpret else False
+    settings = dict(settings_t)
+    consts = dict(consts_t)
+    for _ in range(rounds):
+        film, state, counters, it_dev = _lt_round_v2(
+            film, state, counters, it_dev, tabs, lt_settings, key, settings,
+            consts, interp)
+    return film, state, counters, it_dev
 
 
 def lt_mega_spawn_inkernel(world) -> bool:
@@ -1224,15 +1249,26 @@ def lt_trace_mega(world, camera, settings, width: int, height: int,
     it = 0
     max_iters = int((b_each + 1) * settings.max_bounces * 4 + 64)
 
+    # round chaining (v2 only; PT_LT_MEGA_ROUNDS, default 4): LT lanes
+    # respawn immediately, so every round is full-width and the tunnel's
+    # ~8.8 ms/program pacing floor is pure per-round overhead — chaining K
+    # rounds per dispatched program divides it by K at the cost of K×2
+    # pallas calls of compile
+    k_chain = max(int(_os.environ.get("PT_LT_MEGA_ROUNDS", "4")), 1) \
+        if spawn_inkernel else 1
     # pipelined termination checks (PARITY rule 8: blocking scalar fetches
     # stall a full tunnel RTT; issue the count program every interval and
     # read it one interval later)
-    check_every = 4
+    check_every = max(4 // k_chain, 1)
     pending = []
     stop = False
     while it < max_iters and not stop:
         for _ in range(check_every):
-            if spawn_inkernel:
+            if spawn_inkernel and k_chain > 1:
+                film, state, counters, it_dev = _lt_step_v2_multi(
+                    film, state, counters, it_dev, tabs_v2, settings,
+                    key, settings_t, consts_t, interpret, k_chain)
+            elif spawn_inkernel:
                 film, state, counters, it_dev = _lt_step_v2(
                     film, state, counters, it_dev, tabs_v2, settings,
                     key, settings_t, consts_t, interpret)
@@ -1240,9 +1276,9 @@ def lt_trace_mega(world, camera, settings, width: int, height: int,
                 film, state, counters, it_dev = _lt_step(
                     film, state, counters, it_dev, tabs, world, camera,
                     settings, key, settings_t, consts_t, interpret)
-            it += 1
+            it += k_chain
         pending.append((it, _lt_work_count(state)))
-        while pending and (it - pending[0][0] >= check_every
+        while pending and (it - pending[0][0] >= check_every * k_chain
                            or len(pending) > 3):
             _, fut = pending.pop(0)
             if float(np.asarray(fut)) == 0.0:
