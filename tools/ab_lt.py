@@ -47,6 +47,8 @@ def bench(tag, fn):
 
 
 bench("lt_mega_v2", lambda k: lt_trace_mega(c.world, cam, s, W, H, N_PATHS, k))
+if "--v2only" in sys.argv:
+    sys.exit(0)
 os.environ["PT_LT_MEGA_V1"] = "1"
 bench("lt_mega_v1", lambda k: lt_trace_mega(c.world, cam, s, W, H, N_PATHS, k))
 os.environ.pop("PT_LT_MEGA_V1", None)
