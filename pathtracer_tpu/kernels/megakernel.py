@@ -1420,8 +1420,11 @@ def _shade_body(consts, settings, u_ref, state_ref, prim_ref, mat_ref,
             # on v of the rotated direction
             er = c["env_rot"]
             dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
-            v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
-            jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
+            # sin(pi * (acos(dz)/pi)) == sqrt(1 - dz^2): same Jacobian with
+            # no arccos (Mosaic has no acos lowering - const-env NEE scenes
+            # failed to compile on-chip until round 5)
+            jac = (2.0 * jnp.pi * jnp.pi
+                   * jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0)) + 0.001)
             env_nee_pdf = (1.0 / jac) * p_env
         use_mis_env = (bounce_ct > 0.5) & (env_nee_pdf + prev_pdf > 0.0)
         w_env = jnp.where(use_mis_env, _balance(prev_pdf, jnp.maximum(env_nee_pdf, 0.0)), 1.0)
@@ -2559,18 +2562,17 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
     fused_ok = (scene.env_args is None
                 and scene.med_args is None
                 and not tex_feed
-                and (int(settings.light_samples) > 0
-                     # A/B override for the ls=0 anomaly harness
-                     or _os.environ.get("PT_MEGA_FORCE_FUSED"))
                 and scene.dense_tab.shape[0] // 32 <= 4
                 and not _os.environ.get("PT_MEGA_NOFUSED")
                 and not _os.environ.get("PT_MEGA_3PROG")
                 and not _os.environ.get("PT_MEGA_1PROG")
                 and rounds_per_prog == 1)
     # fused measured: +10% on single-chunk NEE scenes (cornell 121.9 vs
-    # 110.4), -33% on the ls=0 furnace (27 vs 40, cause not yet isolated)
-    # and slower + scoped-vmem-heavier on multi-chunk scenes (gem) — hence
-    # the ls>0 and chunk gates above.
+    # 110.4); slower + scoped-vmem-heavier on multi-chunk scenes (gem) —
+    # hence the chunk gate above. The round-3 "-33% on the ls=0 furnace"
+    # does NOT reproduce after the dead-tile skip (tools/ab_fused_ls0.py,
+    # 2026-08-21: fused 19.76 vs 2prog 18.51 Mrays/s; at TILE=2048 21.49
+    # vs 21.19), so ls=0 scenes take the fused round too (VERDICT r4 #6).
     if tex_feed:
         # uv-dependent surface textures: the feed needs K1's hit rows, so
         # the round is K1 | feed | K2 | K34 in one program (no fused/multi
@@ -2961,8 +2963,9 @@ def _all_kernel_body(consts, settings, u_ref, state_ref, dense_ref, prim_ref,
     if nee_enabled and p_env > 0.0:
         er = c["env_rot"]
         dz = er[6] * d.x + er[7] * d.y + er[8] * d.z
-        v_env = jnp.arccos(jnp.clip(dz, -1.0, 1.0)) / jnp.pi
-        jac = 2.0 * jnp.pi * jnp.pi * jnp.sin(jnp.pi * v_env) + 0.001
+        # sqrt identity instead of arccos (see _shade_body note)
+        jac = (2.0 * jnp.pi * jnp.pi
+               * jnp.sqrt(jnp.maximum(1.0 - dz * dz, 0.0)) + 0.001)
         env_nee_pdf = (1.0 / jac) * p_env
         use_mis_env = (bounce_ct > 0.5) & (env_nee_pdf + prev_pdf > 0.0)
         w_env = jnp.where(use_mis_env,

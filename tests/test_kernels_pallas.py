@@ -770,3 +770,46 @@ aperture_diameter = 0.0001
     # radius) see the bare env — ratio ≈ exp(-σ_a·chord) ∈ [0.35, 0.40]
     expected = np.exp(-0.5 * 2.0)
     assert abs(center / corner - expected) < 0.08, (center, corner, expected)
+
+
+def test_mega_const_env_nee_matches_regen():
+    """CONSTANT env with env_sampling_probability > 0 and ls > 0: the
+    in-kernel const-env NEE branch (env sample + escape-MIS Jacobian).
+    This combination was never covered — it hid a jnp.arccos in the kernel
+    that Mosaic cannot lower (found on-chip round 5; the Jacobian now uses
+    the exact sin(acos)=sqrt identity)."""
+    from pathtracer_tpu.camera import make_projective_camera
+    from pathtracer_tpu.core import spectral
+    from pathtracer_tpu.parsing import SceneBuilder
+
+    b = SceneBuilder()
+    white = b.add_curve(spectral.FlatCurve(0.6), name="white")
+    sky = b.add_curve(spectral.FlatCurve(0.8), name="sky")
+    one_px = np.ones((1, 1), np.float32)
+    tw = b.add_texture([(one_px, white)], name="tw")
+    mw = b.add_lambertian(tw, name="mw")
+    s = 0.5
+    b.add_rect([s, s, 0.0], [s, 0, 0], [0, s, 0], mw)
+    b.add_sphere([0.5, 0.5, 0.3], 0.2, mw)
+    b.set_environment_constant(sky, 1.0)
+    b.env_sampling_probability = 0.5
+    bundle = b.build()
+    cam = make_projective_camera(
+        look_from=[-1.2, 0.5, 0.5], look_at=[0.5, 0.5, 0.3],
+        vfov_degrees=45.0, focal_distance=1.7, aperture_diameter=0.0,
+        aspect_ratio=1.0)
+    settings = PTSettings(max_bounces=4, min_bounces=1, light_samples=1,
+                          russian_roulette=True)
+    w = h = 32
+    spp = 8
+    acc_m, c_m = pt_trace_regen_mega(bundle, cam, settings, w, h, spp,
+                                     jax.random.PRNGKey(5), interpret=True)
+    acc_r, c_r = pt_trace_regen(bundle, cam, settings, w, h, spp,
+                                jax.random.PRNGKey(6))
+    am = np.asarray(acc_m).mean(axis=0) / spp
+    ar = np.asarray(acc_r).mean(axis=0) / spp
+    assert np.isfinite(np.asarray(acc_m)).all()
+    np.testing.assert_allclose(am, ar, rtol=0.2)
+    c_m, c_r = np.asarray(c_m), np.asarray(c_r)
+    nz = c_r > 0
+    np.testing.assert_allclose(c_m[nz], c_r[nz], rtol=0.08)
