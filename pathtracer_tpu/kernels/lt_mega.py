@@ -1123,17 +1123,27 @@ def _lt_round_v2(film, state, counters, it_dev, tabs, lt_settings,
     state_out = out4[:NS_LT]
     aux = _k4_aux_v2(cs)
 
-    def scat(film, pid_row, xyz_rows):
-        pid = pid_row.astype(jnp.int32)
-        xyz = jnp.stack(xyz_rows, axis=-1)
-        return film.at[pid].add(xyz)
+    # ONE fused scatter-add per round: the 2+cs splat families (direct
+    # lens hits, per-cs resolved connections, light-vertex) concatenate
+    # into a single index/update pair — TPU scatters pay a large per-op
+    # cost (sort/serialize on duplicate indices), so call count matters.
+    # PT_LT_NO_SPLAT=1 (probe only, wrong film) skips them entirely to
+    # bound the scatter share of the round.
+    import os as _os2
 
-    film = scat(film, k2[Q_HIT_PID], [k2[Q_HIT_XYZ + i] for i in range(3)])
+    pid_rows = [k2[Q_HIT_PID]]
+    xyz_rows_all = [[k2[Q_HIT_XYZ + i] for i in range(3)]]
     for ci in range(cs):
         b = K4_CONN + 4 * ci
-        film = scat(film, out4[b], [out4[b + 1 + i] for i in range(3)])
-    film = scat(film, out4[aux["lv_pid"]],
-                [out4[aux["lv_xyz"] + i] for i in range(3)])
+        pid_rows.append(out4[b])
+        xyz_rows_all.append([out4[b + 1 + i] for i in range(3)])
+    pid_rows.append(out4[aux["lv_pid"]])
+    xyz_rows_all.append([out4[aux["lv_xyz"] + i] for i in range(3)])
+    if not _os2.environ.get("PT_LT_NO_SPLAT"):
+        pid = jnp.concatenate(pid_rows).astype(jnp.int32)
+        xyz = jnp.stack([jnp.concatenate([r[i] for r in xyz_rows_all])
+                         for i in range(3)], axis=-1)
+        film = film.at[pid].add(xyz)
 
     counters = counters.at[prof.BOUNCE_RAYS].add(jnp.sum(out4[aux["bounce"]]))
     counters = counters.at[prof.CAMERA_RAYS].add(
