@@ -14,11 +14,14 @@ from pathtracer_tpu.integrator.bdpt import BDPTSettings, bdpt_trace
 from pathtracer_tpu.utils.profile import Profile
 
 
-# film points per inner call: the batched strategy passes build [n·P]
-# lanes (P ≈ max_depth² pairs), so a full 512² film at md=6 materializes
-# 7.9M-lane temps and OOMs the 16G HBM — chunking bounds the working set
-# at identical math (strategies are per-film-point independent)
-BDPT_CHUNK = 1 << 16
+# film-point budget per inner call, scaled by strategy count: the batched
+# passes build [n·P] lanes (P ≈ max_depth² pairs), so a full 512² film at
+# md=6 materializes 7.9M-lane temps and OOMs the 16G HBM — but
+# over-chunking costs throughput (md=4 at 64k chunks measured 8.5 vs the
+# full-film 13+ Mrays/s: per-chunk dispatch + underfilled sweeps). Cap
+# n_chunk·P at ~8M lanes: md=4 keeps the full 512² film in one call,
+# md=6 splits it in two.
+BDPT_LANE_BUDGET = 1 << 23
 
 
 @partial(jax.jit, static_argnames=("settings", "width", "height", "n_chunk"))
@@ -54,7 +57,9 @@ def render_bdpt(world, camera, settings: BDPTSettings, width: int, height: int,
     splats = jnp.zeros((n, 3))
     total = None
     t0 = time.perf_counter()
-    n_chunk = min(n, BDPT_CHUNK)
+    p_est = max(settings.max_depth * settings.max_depth, 1)
+    n_chunks = max(-(-(n * p_est) // BDPT_LANE_BUDGET), 1)
+    n_chunk = -(-n // n_chunks)
     for c in range(min_samples):
         for start in range(0, n, n_chunk):
             f, sp, counters = _bdpt_chunk(
