@@ -115,3 +115,37 @@ def timed(tag, fn, *a):
 
 k2 = timed("K12 (sweep+shade)", k12_only, u, state)
 timed("K34 (sweeps+spawn)", k34_only, u, usp, state, k2)
+
+
+# ---- scatter microbenchmark: does film.at[pid].add cost scale with the
+# update count (compaction would win) or per-call? Plus unique-index
+# permutation scatter (the cumsum-compaction building block).
+film0 = jnp.zeros((W * H, 3), jnp.float32)
+for n_upd in (1 << 21, 1 << 19, 1 << 17):
+    pid = jax.random.randint(jax.random.PRNGKey(2), (n_upd,), 0, W * H)
+    xyz = jax.random.uniform(jax.random.PRNGKey(3), (n_upd, 3))
+
+    @jax.jit
+    def scat_add(film, pid, xyz):
+        return film.at[pid].add(xyz)
+
+    timed(f"scatter-add {n_upd >> 10}k dups", scat_add, film0, pid, xyz)
+
+n_upd = 1 << 21
+mask = jax.random.uniform(jax.random.PRNGKey(4), (n_upd,)) < 0.12
+vals = jax.random.uniform(jax.random.PRNGKey(5), (n_upd, 4))
+
+
+@jax.jit
+def compact_then_add(film, mask, vals):
+    rank = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    cap = 1 << 19
+    dst = jnp.where(mask, jnp.minimum(rank, cap - 1), cap - 1)
+    buf = jnp.zeros((cap, 4), jnp.float32).at[dst].set(
+        jnp.where(mask[:, None], vals, 0.0), mode="drop",
+        unique_indices=False)
+    pid = jnp.clip(buf[:, 0].astype(jnp.int32), 0, W * H - 1)
+    return film.at[pid].add(buf[:, 1:4])
+
+
+timed("compact(2M->512k)+add", compact_then_add, film0, mask, vals)
