@@ -188,6 +188,17 @@ def config_bdpt_lt(out):
     out["bdpt_cornell_512_mrays"] = round(
         prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
     _partial(out)
+    # md=6 row (VERDICT r4 #5): the batched strategy-family rewrite made
+    # this compileable (~3-5 min vs the old 853 s of per-pair graphs)
+    bd6 = BDPTSettings(max_depth=6)
+    render_bdpt(bundle.world, camera, bd6, 512, 512, 1, key=jax.random.PRNGKey(2))
+    t0 = time.perf_counter()
+    film, prof, _ = render_bdpt(bundle.world, camera, bd6, 512, 512, 4,
+                                key=jax.random.PRNGKey(3))
+    np.asarray(film)
+    out["bdpt_cornell_512_md6_mrays"] = round(
+        prof.total_rays / (time.perf_counter() - t0) / 1e6, 2)
+    _partial(out)
     lt = LTSettings(max_bounces=8, stratified=True)
     render_splatted(bundle.world, camera, lt, 512, 512, 2, key=jax.random.PRNGKey(0))
     t0 = time.perf_counter()
