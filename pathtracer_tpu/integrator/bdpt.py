@@ -308,6 +308,286 @@ def _gather_pairs(sp: Subpath, idx):
     return jax.tree_util.tree_map(lambda a: a[:, idx], sp)
 
 
+def _bdpt_trace_per_pair(world: World, camera, settings: BDPTSettings, film_uv, key):
+    """Per-pair strategy loops (the round-4 implementation, one graph per
+    (s,t)): ~2x the batched path's throughput at small max_depth (13.3 vs
+    6.6 Mrays/s md=4 on-chip, 2026-08-21) but compile cost O(D^2) graphs
+    (853 s at md=6) - dispatched for max_depth <= 4. Returns (own f32[N],
+    splat_uv f32[M,2], splat_energy f32[M], lam f32[N], lam_splat, counters)
+    where splats are the t=1 strategies (M = N·(max_depth-1))."""
+    n = film_uv.shape[0]
+    wb = settings.wavelength_bounds
+    k_lam, k_light, k_eye, k_con = jax.random.split(key, 4)
+    lam = wb.sample(jax.random.uniform(k_lam, (n,)))
+    # λ is drawn once per sample (uniform); the 1/pdf = span factor is
+    # applied exactly once by the renderer, so subpath betas carry none
+    lam_pdf = jnp.ones((n,))
+    counters = prof.zeros() + jnp.sum(lam * 0.0)
+
+    y, light_prim0, counters = generate_light_subpath(
+        world, settings, lam, lam_pdf, k_light, n, counters
+    )
+    z, z_escapes, counters = generate_eye_subpath(
+        world, camera, settings, film_uv, lam, k_eye, counters
+    )
+    # the eye subpath's ACTUAL sampled lens point: all camera-side
+    # connections/pdfs use it (round-1 used camera.origin, i.e. a pinhole —
+    # biased for thin-lens apertures)
+    lens_pt = z.pos[:, 0]
+
+    D = settings.max_depth
+    own = jnp.zeros((n,))
+    splat_uv = []
+    splat_e = []
+
+    def pair_enabled(s, t):
+        if settings.selected_pair is None:
+            return True
+        return settings.selected_pair == (s, t)
+
+    a_film = camera.we_film_area()
+
+    # ---------- environment family (disjoint from instance-light paths):
+    # s=0 env escape at each eye depth, MIS-paired with env-NEE from the
+    # same vertex — together they cover every eye...surface...env path the
+    # way PT does (the reference's bdpt env strategies, utils.rs:18-116)
+    if settings.selected_pair is None:
+        for i, esc in enumerate(z_escapes):
+            env_e = env_emission(world.env, world.bank, world.tex, esc["dir"], lam)
+            env_pdf = env_pdf_for(world.env, esc["dir"])
+            if i == 0:
+                w_esc = jnp.ones((n,))
+            else:
+                w_esc = safe_div(esc["pdf_sa"], esc["pdf_sa"] + env_pdf)
+            own = own + jnp.where(esc["escaped"], esc["beta"] * env_e * w_esc, 0.0)
+        u_env = jax.random.uniform(sampling.fold(k_con, 777), (n, 2 * D))
+        for i in range(1, D):
+            zv = _gather(z, i)
+            env_dir, env_pdf = env_sample_uv(
+                world.env, u_env[:, 2 * i], u_env[:, 2 * i + 1]
+            )
+            env_e = env_emission(world.env, world.bank, world.tex, env_dir, lam)
+            frame_z = vecmath.TangentFrame(*_frame(zv.ns))
+            fz, fz_pdf = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(env_dir), TransportMode.Radiance,
+            )
+            cos_z = jnp.abs(vecmath.dot(zv.ns, env_dir))
+            w_nee = safe_div(env_pdf, env_pdf + fz_pdf)
+            contrib = safe_div(zv.beta * fz * cos_z * env_e * w_nee, env_pdf)
+            worth = zv.valid & ~zv.is_light & (contrib > 0.0) & jnp.isfinite(contrib)
+            so = zv.pos + zv.gn * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(zv.gn, env_dir) + 1e-9)
+            )[..., None]
+            blocked = world.intersect_any(
+                so, env_dir,
+                jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+                jnp.full((n,), RAY_TMAX, jnp.float32),
+            )
+            counters = counters.at[prof.SHADOW_RAYS].add(
+                jnp.sum(worth.astype(jnp.float32))
+            )
+            own = own + jnp.where(worth & ~blocked, contrib, 0.0)
+
+    # ---------- s = 0: eye path hits a light (bdpt/utils.rs:18-116 s=0 case)
+    for t in range(2, D + 1):
+        if not pair_enabled(0, t):
+            continue
+        zv = _gather(z, t - 1)
+        cos_l = vecmath.dot(zv.gn, -zv.wi)
+        le = emission(world.mats, world.bank, zv.mat_id, lam, jnp.zeros((n, 2)), cos_l)
+        ok = zv.valid & zv.is_light & (le > 0.0)
+        # reverse pdfs at the junction: light position + emission direction
+        pdf_rev_z_end = jnp.where(ok, _light_pos_pdf(world, zv), 0.0)
+        pdf_rev_z_prev = jnp.where(
+            ok,
+            _to_area_pdf(
+                emission_direction_pdf(world.mats, zv.mat_id, cos_l),
+                zv.pos, z.pos[:, t - 2], z.ns[:, t - 2],
+            ),
+            0.0,
+        ) if t >= 2 else 0.0
+        w = _mis_weight(world, lam, y, z, 0, t, D, 0.0, 0.0, pdf_rev_z_end, pdf_rev_z_prev)
+        own = own + jnp.where(ok, zv.beta * le * w, 0.0)
+
+    # ---------- s >= 1, t >= 2: vertex connections
+    for s in range(1, D + 1):
+        for t in range(2, D + 1):
+            if not pair_enabled(s, t):
+                continue
+            yv = _gather(y, s - 1)
+            zv = _gather(z, t - 1)
+            con = zv.pos - yv.pos
+            dist2 = jnp.maximum(vecmath.length_squared(con), 1e-12)
+            dist = jnp.sqrt(dist2)
+            dir_yz = con / dist[..., None]
+            cos_y = vecmath.dot(yv.ns, dir_yz)
+            cos_z = vecmath.dot(zv.ns, -dir_yz)
+            geo = safe_div(jnp.abs(cos_y) * jnp.abs(cos_z), dist2)
+
+            if s == 1:
+                # light vertex end: directional emission toward z
+                le = emission(world.mats, world.bank, yv.mat_id, lam,
+                              jnp.zeros((n, 2)), vecmath.dot(yv.gn, dir_yz))
+                fy = le
+                fy_rev_pdf_sa = emission_direction_pdf(
+                    world.mats, yv.mat_id, vecmath.dot(yv.gn, dir_yz)
+                )
+            else:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                fy, fy_pdf = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+                    frame_y.to_local(dir_yz), TransportMode.Importance,
+                )
+                fy_rev_pdf_sa = fy_pdf
+            frame_z = vecmath.TangentFrame(*_frame(zv.ns))
+            fz, fz_pdf = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(-dir_yz), TransportMode.Radiance,
+            )
+            contrib = yv.beta * fy * geo * fz * zv.beta
+            worth = yv.valid & zv.valid & (contrib > 0.0) & jnp.isfinite(contrib)
+            so = yv.pos + yv.gn * (
+                NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_yz) + 1e-9)
+            )[..., None]
+            blocked = world.intersect_any(
+                so, dir_yz,
+                jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+                dist * 0.99,
+            )
+            counters = counters.at[prof.SHADOW_RAYS].add(
+                jnp.sum(worth.astype(jnp.float32))
+            )
+            # junction reverse pdfs (area measure)
+            # z_{t-1} generated from y_{s-1}:
+            if s == 1:
+                pdf_z_end_sa = emission_direction_pdf(
+                    world.mats, yv.mat_id, vecmath.dot(yv.gn, dir_yz)
+                )
+            else:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                _, pdf_z_end_sa = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+                    frame_y.to_local(dir_yz), TransportMode.Importance,
+                )
+            pdf_rev_z_end = _to_area_pdf(pdf_z_end_sa, yv.pos, zv.pos, zv.ns)
+            # z_{t-2} generated from z_{t-1} (incoming now from y):
+            _, pdf_z_prev_sa = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-dir_yz),
+                frame_z.to_local(-zv.wi), TransportMode.Radiance,
+            )
+            pdf_rev_z_prev = _to_area_pdf(pdf_z_prev_sa, zv.pos, z.pos[:, t - 2], z.ns[:, t - 2])
+            # y_{s-1} generated from z_{t-1}:
+            _, pdf_y_end_sa = bsdf_eval(
+                world.mats, world.bank, world.tex, zv.mat_id, lam,
+                jnp.zeros((n, 2)), frame_z.to_local(-zv.wi),
+                frame_z.to_local(-dir_yz), TransportMode.Radiance,
+            )
+            pdf_rev_y_end = _to_area_pdf(pdf_y_end_sa, zv.pos, yv.pos, yv.ns)
+            # y_{s-2} generated from y_{s-1} (incoming from z):
+            if s >= 2:
+                frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+                _, pdf_y_prev_sa = bsdf_eval(
+                    world.mats, world.bank, world.tex, yv.mat_id, lam,
+                    jnp.zeros((n, 2)), frame_y.to_local(dir_yz),
+                    frame_y.to_local(-yv.wi), TransportMode.Importance,
+                )
+                pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
+            else:
+                pdf_rev_y_prev = 0.0
+            w = _mis_weight(world, lam, y, z, s, t, D,
+                            pdf_rev_y_end, pdf_rev_y_prev,
+                            pdf_rev_z_end, pdf_rev_z_prev)
+            own = own + jnp.where(worth & ~blocked, contrib * w, 0.0)
+
+    # ---------- t = 1: splat through the lens (lt.rs-style connection)
+    for s in range(2, D + 1):
+        if not pair_enabled(s, 1):
+            continue
+        yv = _gather(y, s - 1)
+        to_cam = lens_pt - yv.pos
+        dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_c = to_cam / dist[..., None]
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam)
+        cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+        we = safe_div(camera.we_focal()**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        frame_y = vecmath.TangentFrame(*_frame(yv.ns))
+        fy, fy_pdf = bsdf_eval(
+            world.mats, world.bank, world.tex, yv.mat_id, lam,
+            jnp.zeros((n, 2)), frame_y.to_local(-yv.wi),
+            frame_y.to_local(dir_c), TransportMode.Importance,
+        )
+        geo = safe_div(jnp.abs(vecmath.dot(yv.ns, dir_c)) * cos_cam, dist2)
+        contrib = yv.beta * fy * geo * we
+        so = yv.pos + yv.gn * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
+        )[..., None]
+        blocked = world.intersect_any(
+            so, dir_c,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            dist * 0.99,
+        )
+        counters = counters.at[prof.CAMERA_RAYS].add(
+            jnp.sum((yv.valid & on_film).astype(jnp.float32))
+        )
+        # junction pdfs: y_{s-1} from camera; y_{s-2} from y_{s-1}
+        cam_dir_pdf_sa = safe_div(camera.we_focal()**2, cos_cam**3 * a_film)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
+        _, pdf_y_prev_sa = bsdf_eval(
+            world.mats, world.bank, world.tex, yv.mat_id, lam,
+            jnp.zeros((n, 2)), frame_y.to_local(dir_c),
+            frame_y.to_local(-yv.wi), TransportMode.Importance,
+        )
+        pdf_rev_y_prev = _to_area_pdf(pdf_y_prev_sa, yv.pos, y.pos[:, s - 2], y.ns[:, s - 2])
+        w = _mis_weight(world, lam, y, z, s, 1, D, pdf_rev_y_end, pdf_rev_y_prev, 0.0, 0.0)
+        ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
+        splat_uv.append(jnp.stack([fu, fv], axis=-1))
+        splat_e.append(jnp.where(ok, contrib * w, 0.0))
+
+    # ---------- s = 1, t = 1: light vertex direct to lens
+    if pair_enabled(1, 1):
+        yv = _gather(y, 0)
+        to_cam = lens_pt - yv.pos
+        dist2 = jnp.maximum(vecmath.length_squared(to_cam), 1e-12)
+        dist = jnp.sqrt(dist2)
+        dir_c = to_cam / dist[..., None]
+        fu, fv, on_film = camera.get_pixel_for_ray(lens_pt, -dir_c, lam)
+        cos_cam = jnp.abs(vecmath.dot(-dir_c, camera.w))
+        we = safe_div(camera.we_focal()**2, jnp.maximum(cos_cam, 1e-6) ** 4 * a_film)
+        le = emission(world.mats, world.bank, yv.mat_id, lam, jnp.zeros((n, 2)),
+                      vecmath.dot(yv.gn, dir_c))
+        geo = safe_div(jnp.abs(vecmath.dot(yv.ns, dir_c)) * cos_cam, dist2)
+        contrib = yv.beta * le * geo * we
+        so = yv.pos + yv.gn * (
+            NORMAL_OFFSET * jnp.sign(vecmath.dot(yv.gn, dir_c) + 1e-9)
+        )[..., None]
+        blocked = world.intersect_any(
+            so, dir_c,
+            jnp.full((n,), INTERSECTION_TIME_OFFSET, jnp.float32),
+            dist * 0.99,
+        )
+        counters = counters.at[prof.CAMERA_RAYS].add(
+            jnp.sum((yv.valid & on_film).astype(jnp.float32))
+        )
+        cam_dir_pdf_sa = safe_div(camera.we_focal()**2, cos_cam**3 * a_film)
+        pdf_rev_y_end = _to_area_pdf(cam_dir_pdf_sa, lens_pt, yv.pos, yv.ns)
+        w = _mis_weight(world, lam, y, z, 1, 1, D, pdf_rev_y_end, 0.0, 0.0, 0.0)
+        ok = yv.valid & on_film & ~blocked & (contrib > 0.0) & jnp.isfinite(contrib)
+        splat_uv.append(jnp.stack([fu, fv], axis=-1))
+        splat_e.append(jnp.where(ok, contrib * w, 0.0))
+
+    splat_uv = jnp.concatenate(splat_uv, axis=0) if splat_uv else jnp.zeros((0, 2))
+    splat_e = jnp.concatenate(splat_e, axis=0) if splat_e else jnp.zeros((0,))
+    lam_splat = jnp.tile(lam, (splat_e.shape[0] // max(n, 1),)) if splat_e.shape[0] else lam[:0]
+    return own, splat_uv, splat_e, lam, lam_splat, counters
+
+
 def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     """One BDPT sample per film point. Returns (own_pixel_energy f32[N],
     splat_uv f32[M,2], splat_energy f32[M], lam f32[N], lam_splat, counters)
@@ -318,7 +598,15 @@ def bdpt_trace(world: World, camera, settings: BDPTSettings, film_uv, key):
     bodies -> one batched shadow sweep -> _mis_weight_batched), instead of
     a Python loop emitting O(max_depth²) separate graphs: the md=6 program
     that cost 853 s of AOT compile as unrolled per-pair passes compiles
-    sub-linearly in max_depth this way (VERDICT r4 #5)."""
+    sub-linearly in max_depth this way (VERDICT r4 #5). Shallow depths
+    (max_depth <= 4) dispatch to the per-pair loops instead: their
+    unrolled graphs compile fine at that size and run ~2x faster on-chip
+    (13.3 vs 6.6 Mrays/s, control A/B 2026-08-21); PT_BDPT_BATCHED=1
+    forces the batched path."""
+    import os as _os
+
+    if settings.max_depth <= 4 and not _os.environ.get("PT_BDPT_BATCHED"):
+        return _bdpt_trace_per_pair(world, camera, settings, film_uv, key)
     n = film_uv.shape[0]
     wb = settings.wavelength_bounds
     k_lam, k_light, k_eye, k_con = jax.random.split(key, 4)
