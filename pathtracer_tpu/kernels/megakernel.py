@@ -2566,6 +2566,10 @@ def pt_trace_regen_mega(world, camera, settings, width, height, spp, key,
                 and not _os.environ.get("PT_MEGA_NOFUSED")
                 and not _os.environ.get("PT_MEGA_3PROG")
                 and not _os.environ.get("PT_MEGA_1PROG")
+                # the opt-in compaction ladder was calibrated against the
+                # 2-prog stepper; under fused its pure-escape pixels drift
+                # ~1e-3 (test_mega_compaction_film_integrity, 2026-08-21)
+                and not _os.environ.get("PT_MEGA_COMPACT")
                 and rounds_per_prog == 1)
     # fused measured: +10% on single-chunk NEE scenes (cornell 121.9 vs
     # 110.4); slower + scoped-vmem-heavier on multi-chunk scenes (gem) —
