@@ -181,6 +181,11 @@ def test_mega_compaction_film_integrity(monkeypatch):
         return orig(state, m)
 
     monkeypatch.setattr(mk, "_compact", spy)
+    # the compaction path pins the 2-prog stepper in production (fused
+    # drifts these calibrated exact-escape pixels ~1e-3); the uncompacted
+    # CONTROL must run the same stepper or the comparison tests the
+    # stepper, not the compaction
+    monkeypatch.setenv("PT_MEGA_NOFUSED", "1")
     monkeypatch.setenv("PT_MEGA_COMPACT", "1")
     acc_c, c_c = pt_trace_regen_mega(bundle.world, cam, settings, w, h, spp,
                                      jax.random.PRNGKey(31), interpret=True)
